@@ -1,0 +1,98 @@
+"""Single typed configuration for the whole pipeline.
+
+The reference spreads its knobs over four argparse parsers with several dead
+or broken flags (SURVEY §5.6: svjedi-graph.py:28-79 ``-t`` default broken,
+filter-alignments.py:52-57 ``-O`` broken, :45-50 ``-i`` unused). Here every
+stage reads one dataclass; the CLI maps the reference's flag names onto it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignConfig:
+    """Knobs of the seed-chain-extend panel aligner (minigraph replacement)."""
+
+    # Minimizer seeding (minimap2/minigraph-style long-read defaults).
+    kmer: int = 15
+    window: int = 10
+    #: Drop minimizers occurring more often than this in the panel index.
+    max_hits_per_minimizer: int = 64
+    #: Minimum anchors on one diagonal band for a (read, cluster) candidate.
+    min_anchors: int = 2
+    #: Diagonal rounding used when voting anchors into bands (bases).
+    diag_bin: int = 128
+
+    # Banded affine-gap DP (scores in the minimap2 convention).
+    match: int = 2
+    mismatch: int = -4
+    gap_open: int = -4
+    gap_extend: int = -2
+    #: Long-gap affine component (two-piece gap cost, minimap2 -O2/-E2 style).
+    gap_open2: int = -24
+    gap_extend2: int = -1
+    #: DP band width in bases (lanes); multiple of 128.
+    band: int = 256
+    #: Minimum winning DP score for an alignment to be counted at all.
+    min_score: int = 40
+    #: Read/path length buckets for fixed-shape batching.
+    buckets: tuple = (512, 1024, 2048, 4096, 8192, 16384, 32768)
+
+    # Panel construction.
+    #: Flank length (bases) kept on each side of a junction cluster.
+    flank: int = 1000
+    #: Breakpoints closer than this merge into one junction cluster.
+    cluster_gap: int = 1000
+    #: Caps on local path enumeration per cluster.
+    max_paths_per_cluster: int = 32
+    max_hops_per_path: int = 24
+
+
+@dataclasses.dataclass(frozen=True)
+class GenotypeConfig:
+    """Genotype-model knobs (reference: predict-genotype.py:29-65)."""
+
+    #: Minimum informative alignments to emit a genotype (``-ms``, default 3).
+    min_support: int = 3
+    #: Allele error probability e (``-e``, default 5e-5).
+    err: float = 0.00005
+    #: Required aligned bases on each side of a crossed junction
+    #: (filter-alignments.py d_over, effectively fixed at 100).
+    d_over: int = 100
+
+
+@dataclasses.dataclass(frozen=True)
+class DistConfig:
+    """Device-mesh layout (SURVEY §2.2: the TPU-native scaling strategy)."""
+
+    #: Number of data-parallel read shards (mesh axis ``data``).
+    data_shards: int = 1
+    #: Number of panel shards (mesh axis ``graph``); 1 = replicated panel.
+    graph_shards: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    vcf: Optional[Path] = None
+    ref: Optional[Path] = None
+    #: Comma-separated FASTQ list is split like svjedi-graph.py:95-98.
+    reads: tuple = ()
+    prefix: str = "svjedi_tpu_out"
+
+    align: AlignConfig = AlignConfig()
+    genotype: GenotypeConfig = GenotypeConfig()
+    dist: DistConfig = DistConfig()
+
+    #: Preserve stage artifacts (gfa / edges json / informative-aln json) so
+    #: stages are independently re-runnable (SURVEY §5.4 de-facto resume).
+    keep_artifacts: bool = True
+    #: Skip stages whose artifacts already exist.
+    resume: bool = False
+    #: Emit a GAF of winning alignments (interop/debug).
+    write_gaf: bool = False
+    #: Capture a JAX profiler trace into this directory.
+    profile_dir: Optional[Path] = None

@@ -1,0 +1,77 @@
+"""ctypes binding to the native C++ I/O library (``native/fastio.cpp``).
+
+The reference's only native component is minigraph (SURVEY §2.1); our compute
+path is JAX/Pallas, and the native runtime piece is the I/O hot loop: zlib
+decompression + FASTQ parsing + 2-bit encoding. Falls back to ``None`` when
+the shared library has not been built (``make -C native``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_LIB_SEARCHED = False
+
+
+class _NativeIO:
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+        lib.svt_read_sequences.restype = ctypes.c_void_p
+        lib.svt_read_sequences.argtypes = [ctypes.c_char_p]
+        lib.svt_result_n_reads.restype = ctypes.c_int64
+        lib.svt_result_n_reads.argtypes = [ctypes.c_void_p]
+        lib.svt_result_total_bases.restype = ctypes.c_int64
+        lib.svt_result_total_bases.argtypes = [ctypes.c_void_p]
+        lib.svt_result_copy.restype = None
+        lib.svt_result_copy.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.svt_result_name.restype = ctypes.c_char_p
+        lib.svt_result_name.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.svt_result_free.restype = None
+        lib.svt_result_free.argtypes = [ctypes.c_void_p]
+
+    def read_sequences(
+        self, path: str
+    ) -> Optional[Tuple[List[str], np.ndarray, np.ndarray]]:
+        handle = self._lib.svt_read_sequences(path.encode())
+        if not handle:
+            return None
+        try:
+            n = self._lib.svt_result_n_reads(handle)
+            total = self._lib.svt_result_total_bases(handle)
+            codes = np.empty(total, dtype=np.int8)
+            offsets = np.empty(n + 1, dtype=np.int64)
+            self._lib.svt_result_copy(
+                handle,
+                codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            names = [self._lib.svt_result_name(handle, i).decode() for i in range(n)]
+            return names, codes, offsets
+        finally:
+            self._lib.svt_result_free(handle)
+
+
+def load_native() -> Optional[_NativeIO]:
+    """Load the native I/O library if built; cache the result."""
+    global _LIB, _LIB_SEARCHED
+    if _LIB_SEARCHED:
+        return _LIB
+    _LIB_SEARCHED = True
+    root = Path(__file__).resolve().parent.parent.parent
+    for candidate in [root / "native" / "libsvtfastio.so"]:
+        if candidate.exists():
+            try:
+                _LIB = _NativeIO(ctypes.CDLL(str(candidate)))
+            except OSError:
+                _LIB = None
+            break
+    return _LIB
