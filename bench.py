@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Benchmark: read-to-graph alignment throughput (reads/s/chip).
+
+Driver contract: print exactly ONE JSON line
+``{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}`` on stdout.
+
+Workload: the reference test-dir bundle (519 real simulated long reads,
+~4.3 Mb) replicated REPS times and pushed through the full align stage
+(minimizer seeding → candidate voting → banded DP on the device → winner
+reduction → allele-support counting), i.e. everything between "reads on
+disk" and "per-SV counts". Correctness is asserted on the fly: the counts
+from the benchmark run must reproduce the golden 40/40 genotype calls.
+
+Baseline: the reference pipeline's aligner is minigraph (not available in
+this image; the repo publishes no perf numbers, BASELINE.md). ``vs_baseline``
+therefore reports our TPU throughput relative to minigraph's documented
+long-read mapping throughput class on a multicore CPU (~4 Mb/s/thread ≈
+≈500 reads/s on this read-length mix, Li 2020); override with
+SVJT_BASELINE_READS_PER_S if a measured local baseline exists.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+TEST_DIR = Path(os.environ.get("SVJT_TESTDIR", "/root/reference/test-dir"))
+REPS = int(os.environ.get("SVJT_BENCH_REPS", "10"))
+#: minigraph-class CPU baseline (reads/s on this read mix); see docstring.
+BASELINE_READS_PER_S = float(os.environ.get("SVJT_BASELINE_READS_PER_S", "500"))
+
+
+def main() -> int:
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+    from svjedi_tpu.align.index import build_panel_index
+    from svjedi_tpu.align.pipeline import align_and_count
+    from svjedi_tpu.config import AlignConfig, GenotypeConfig
+    from svjedi_tpu.graph.build import build_graph
+    from svjedi_tpu.graph.cluster import build_panel
+    from svjedi_tpu.graph.svparse import parse_vcf_svs
+    from svjedi_tpu.io.fasta import read_fasta
+    from svjedi_tpu.io.fastq import ReadSet, read_reads
+
+    align_cfg = AlignConfig()
+    genotype_cfg = GenotypeConfig()
+
+    chroms = read_fasta(TEST_DIR / "reference_genome.fasta")
+    parsed = parse_vcf_svs(
+        TEST_DIR / "test.vcf", {c: len(s) for c, s in chroms.items()}
+    )
+    graph = build_graph(chroms, parsed)
+    panel = build_panel(
+        graph,
+        flank=align_cfg.flank,
+        cluster_gap=align_cfg.cluster_gap,
+        max_paths_per_cluster=align_cfg.max_paths_per_cluster,
+    )
+    index = build_panel_index(
+        panel, k=align_cfg.kmer, w=align_cfg.window,
+        max_hits_per_minimizer=align_cfg.max_hits_per_minimizer,
+    )
+
+    base = read_reads(str(TEST_DIR / "simulated_reads.fastq.gz"))
+
+    # Warmup pass (compiles every DP bucket shape, warms the TPU tunnel)
+    # and correctness check: counts must reproduce the golden genotypes.
+    counts, _, _ = align_and_count(
+        base, panel, index, align_cfg, genotype_cfg, collect_audit=False
+    )
+    import tempfile
+
+    from svjedi_tpu.evals.contingency import contingency_report
+    from svjedi_tpu.genotype.vcf_writer import write_genotyped_vcf
+
+    with tempfile.TemporaryDirectory() as tmp:
+        out_vcf = Path(tmp) / "g.vcf"
+        write_genotyped_vcf(TEST_DIR / "test.vcf", out_vcf, counts)
+        report = contingency_report(TEST_DIR / "test.vcf", out_vcf)
+    golden = (TEST_DIR / "expected_genotype.vcf.eval").read_text()
+    if report != golden:
+        print(
+            json.dumps(
+                {
+                    "metric": "reads_per_s_per_chip",
+                    "value": 0.0,
+                    "unit": "reads/s",
+                    "vs_baseline": 0.0,
+                    "error": "golden genotype check failed",
+                }
+            )
+        )
+        return 1
+
+    # Timed run on the replicated read set.
+    reps = ReadSet(
+        names=[f"{n}/{r}" for r in range(REPS) for n in base.names],
+        codes=np.tile(base.codes, REPS),
+        offsets=np.concatenate(
+            [base.offsets[:-1] + r * base.codes.size for r in range(REPS)]
+            + [np.array([base.codes.size * REPS])]
+        ),
+    )
+    t0 = time.perf_counter()
+    align_and_count(reps, panel, index, align_cfg, genotype_cfg,
+                    collect_audit=False)
+    dt = time.perf_counter() - t0
+
+    reads_per_s = reps.n_reads / dt
+    result = {
+        "metric": "reads_per_s_per_chip",
+        "value": round(reads_per_s, 2),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 3),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,172 @@
+// Native I/O hot path: FASTQ/FASTA(.gz) reading + 2-bit-friendly encoding.
+//
+// The reference pipeline's only native component is minigraph (C), which
+// also owns gzip decompression of the read files (SURVEY §2.1). In this
+// framework the compute path is JAX/Pallas on TPU; the native runtime piece
+// is the host-side read loader feeding it: zlib streaming decompression,
+// record parsing, and ASCII→code conversion (A,C,G,T → 0..3, other → 4) in
+// one pass. Exposed as a C ABI consumed via ctypes
+// (svjedi_tpu/utils/native.py) with a pure-Python fallback.
+//
+// Build: make -C native   (produces libsvtfastio.so)
+
+#include <zlib.h>
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Result {
+  std::vector<std::string> names;
+  std::vector<int8_t> codes;
+  std::vector<int64_t> offsets;  // size = names.size() + 1
+};
+
+int8_t g_lut[256];
+
+struct LutInit {
+  LutInit() {
+    memset(g_lut, 4, sizeof(g_lut));
+    g_lut[(unsigned)'A'] = g_lut[(unsigned)'a'] = 0;
+    g_lut[(unsigned)'C'] = g_lut[(unsigned)'c'] = 1;
+    g_lut[(unsigned)'G'] = g_lut[(unsigned)'g'] = 2;
+    g_lut[(unsigned)'T'] = g_lut[(unsigned)'t'] = 3;
+  }
+} g_lut_init;
+
+class LineReader {
+ public:
+  explicit LineReader(gzFile file) : file_(file), pos_(0), len_(0), eof_(false) {}
+
+  // Reads one line (without trailing newline) into out. Returns false at EOF.
+  bool getline(std::string* out) {
+    out->clear();
+    for (;;) {
+      if (pos_ == len_) {
+        if (eof_) return !out->empty();
+        len_ = gzread(file_, buf_, sizeof(buf_));
+        pos_ = 0;
+        if (len_ <= 0) {
+          eof_ = true;
+          len_ = 0;
+          return !out->empty();
+        }
+      }
+      char* nl = static_cast<char*>(memchr(buf_ + pos_, '\n', len_ - pos_));
+      if (nl != nullptr) {
+        size_t n = nl - (buf_ + pos_);
+        out->append(buf_ + pos_, n);
+        pos_ += n + 1;
+        if (!out->empty() && out->back() == '\r') out->pop_back();
+        return true;
+      }
+      out->append(buf_ + pos_, len_ - pos_);
+      pos_ = len_;
+    }
+  }
+
+ private:
+  gzFile file_;
+  char buf_[1 << 16];
+  int pos_, len_;
+  bool eof_;
+};
+
+void append_encoded(const std::string& seq, std::vector<int8_t>* codes) {
+  size_t old = codes->size();
+  codes->resize(old + seq.size());
+  int8_t* dst = codes->data() + old;
+  for (size_t i = 0; i < seq.size(); ++i) {
+    dst[i] = g_lut[(unsigned char)seq[i]];
+  }
+}
+
+std::string first_token(const std::string& header, size_t skip) {
+  size_t end = header.find_first_of(" \t", skip);
+  if (end == std::string::npos) return header.substr(skip);
+  return header.substr(skip, end - skip);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns an opaque Result*, or nullptr on open/parse failure.
+void* svt_read_sequences(const char* path) {
+  gzFile file = gzopen(path, "rb");
+  if (file == nullptr) return nullptr;
+  // Larger internal buffer helps gz throughput.
+  gzbuffer(file, 1 << 20);
+
+  LineReader reader(file);
+  auto* result = new Result();
+  result->offsets.push_back(0);
+
+  std::string line;
+  if (!reader.getline(&line)) {
+    gzclose(file);
+    return result;  // empty file → empty result
+  }
+
+  if (!line.empty() && line[0] == '@') {
+    // FASTQ: header / seq / '+' / quals.
+    std::string seq, plus, quals;
+    for (;;) {
+      if (line.empty() || line[0] != '@') break;
+      if (!reader.getline(&seq)) break;
+      reader.getline(&plus);
+      reader.getline(&quals);
+      result->names.push_back(first_token(line, 1));
+      append_encoded(seq, &result->codes);
+      result->offsets.push_back((int64_t)result->codes.size());
+      if (!reader.getline(&line)) break;
+    }
+  } else if (!line.empty() && line[0] == '>') {
+    // FASTA (possibly multi-line sequences).
+    std::string name = first_token(line, 1);
+    for (;;) {
+      bool more = reader.getline(&line);
+      if (!more || (!line.empty() && line[0] == '>')) {
+        result->names.push_back(name);
+        result->offsets.push_back((int64_t)result->codes.size());
+        if (!more) break;
+        name = first_token(line, 1);
+      } else {
+        append_encoded(line, &result->codes);
+      }
+    }
+  } else {
+    delete result;
+    gzclose(file);
+    return nullptr;
+  }
+
+  gzclose(file);
+  return result;
+}
+
+int64_t svt_result_n_reads(void* handle) {
+  return (int64_t) static_cast<Result*>(handle)->names.size();
+}
+
+int64_t svt_result_total_bases(void* handle) {
+  return (int64_t) static_cast<Result*>(handle)->codes.size();
+}
+
+void svt_result_copy(void* handle, int8_t* codes_out, int64_t* offsets_out) {
+  auto* r = static_cast<Result*>(handle);
+  if (!r->codes.empty())
+    memcpy(codes_out, r->codes.data(), r->codes.size());
+  memcpy(offsets_out, r->offsets.data(), r->offsets.size() * sizeof(int64_t));
+}
+
+const char* svt_result_name(void* handle, int64_t i) {
+  return static_cast<Result*>(handle)->names[i].c_str();
+}
+
+void svt_result_free(void* handle) { delete static_cast<Result*>(handle); }
+
+}  // extern "C"

@@ -1,0 +1,109 @@
+"""Minimizer index over the panel (sorted-array hash table).
+
+The reference's analog is minigraph's minimizer index over graph node
+sequences; ours indexes panel *paths* (graph/cluster.py), so junction-
+spanning k-mers are indexed for free — a k-mer across a DEL/INV/BND join
+exists in the path sequence itself (SURVEY §7.3a's "junction-spanning
+k-mers across edges").
+
+Sorted arrays + binary search rather than a hash map: lookups are a batched
+``searchsorted`` (an XLA-friendly gather pattern), construction is a sort.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import numpy as np
+
+from ..graph.cluster import Panel
+from .minimizer import extract_minimizers
+
+
+@dataclass
+class PanelIndex:
+    k: int
+    w: int
+    #: sorted unique minimizer hashes with their hit ranges
+    uniq_hash: np.ndarray  # uint64 (U,)
+    hit_start: np.ndarray  # int64 (U+1,) prefix offsets into hit arrays
+    #: hit payloads, grouped by hash
+    hit_path: np.ndarray  # int32 path id
+    hit_pos: np.ndarray  # int32 k-mer start within path seq
+    hit_strand: np.ndarray  # int8 canonical-strand flag of the panel k-mer
+    #: per-path cluster id (convenience copy)
+    path_cluster: np.ndarray  # int32
+    path_len: np.ndarray  # int32
+
+    def lookup(
+        self, hashes: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Return (start, end) hit ranges for each query hash (0-len when absent)."""
+        idx = np.searchsorted(self.uniq_hash, hashes)
+        idx = np.clip(idx, 0, len(self.uniq_hash) - 1)
+        found = (len(self.uniq_hash) > 0) & (self.uniq_hash[idx] == hashes)
+        start = np.where(found, self.hit_start[idx], 0)
+        end = np.where(found, self.hit_start[idx + 1], 0)
+        return start, end
+
+
+def build_panel_index(
+    panel: Panel, k: int = 15, w: int = 10, max_hits_per_minimizer: int = 64
+) -> PanelIndex:
+    """Index every panel path's minimizers."""
+    hashes: List[np.ndarray] = []
+    paths: List[np.ndarray] = []
+    positions: List[np.ndarray] = []
+    strands: List[np.ndarray] = []
+    for pid, path in enumerate(panel.paths):
+        mins = extract_minimizers(path.seq, k, w)
+        hashes.append(mins.hash)
+        positions.append(mins.pos)
+        strands.append(mins.strand)
+        paths.append(np.full(len(mins.pos), pid, dtype=np.int32))
+
+    all_hash = np.concatenate(hashes) if hashes else np.zeros(0, np.uint64)
+    all_path = np.concatenate(paths) if paths else np.zeros(0, np.int32)
+    all_pos = np.concatenate(positions) if positions else np.zeros(0, np.int32)
+    all_strand = np.concatenate(strands) if strands else np.zeros(0, np.int8)
+
+    order = np.argsort(all_hash, kind="stable")
+    all_hash = all_hash[order]
+    all_path = all_path[order]
+    all_pos = all_pos[order]
+    all_strand = all_strand[order]
+
+    uniq, start = np.unique(all_hash, return_index=True)
+    counts = np.diff(np.append(start, len(all_hash)))
+
+    # Drop ultra-frequent minimizers (repeats): keeps seeding O(reads).
+    keep = counts <= max_hits_per_minimizer
+    kept_ranges = [
+        (s, s + c) for s, c, k_ in zip(start, counts, keep) if k_
+    ]
+    if kept_ranges:
+        sel = np.concatenate([np.arange(s, e) for s, e in kept_ranges])
+    else:
+        sel = np.zeros(0, np.int64)
+    uniq = uniq[keep]
+    all_path = all_path[sel]
+    all_pos = all_pos[sel]
+    all_strand = all_strand[sel]
+    new_counts = counts[keep]
+    hit_start = np.zeros(len(uniq) + 1, dtype=np.int64)
+    np.cumsum(new_counts, out=hit_start[1:])
+
+    return PanelIndex(
+        k=k,
+        w=w,
+        uniq_hash=uniq,
+        hit_start=hit_start,
+        hit_path=all_path,
+        hit_pos=all_pos,
+        hit_strand=all_strand,
+        path_cluster=np.array(
+            [p.cluster_id for p in panel.paths], dtype=np.int32
+        ),
+        path_len=np.array([p.length for p in panel.paths], dtype=np.int32),
+    )

@@ -1,0 +1,171 @@
+"""Command-line interface with reference-parity flags.
+
+``svjedi_tpu run`` mirrors svjedi-graph.py:28-79 (-v/-r/-q/-p/-t/-ms plus
+-e) and runs the whole pipeline in-process. Subcommands expose individual
+stages for the file-glued staging style (SURVEY §5.4 resume semantics):
+
+    run     full pipeline (graph → align → genotype)
+    graph   construct graph artifacts only (construct-graph.py parity)
+    filter  filter an external GAF (filter-alignments.py parity / interop)
+    predict genotype from an informative-aln JSON (predict-genotype.py parity)
+    eval    contingency table (test-dir/contingency_table.py parity)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_run(sub):
+    p = sub.add_parser("run", help="full pipeline")
+    p.add_argument("-v", "--vcf", required=True, help="SV set in vcf format")
+    p.add_argument("-r", "--ref", required=True, help="Reference genome in fasta format")
+    p.add_argument(
+        "-q", "--reads", required=True,
+        help="Long reads in fasta/fastq(.gz); comma-separated list allowed",
+    )
+    p.add_argument("-p", "--prefix", required=True, help="Prefix of generated files")
+    p.add_argument(
+        "-t", "--threads", type=int, default=1,
+        help="Kept for reference-flag parity; maps to data shards",
+    )
+    p.add_argument(
+        "-ms", "--minsupport", type=int, default=3,
+        help="Minimum number of alignments to genotype a SV (default: 3>=)",
+    )
+    p.add_argument("-e", "--err", type=float, default=0.00005,
+                   help="allele error probability")
+    p.add_argument("--no-artifacts", action="store_true",
+                   help="skip writing intermediate artifacts")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a JAX profiler trace into this directory")
+
+
+def _add_stage_parsers(sub):
+    g = sub.add_parser("graph", help="construct graph artifacts only")
+    g.add_argument("-v", "--vcf", required=True)
+    g.add_argument("-r", "--ref", required=True)
+    g.add_argument("-o", "--output", required=True, help="output GFA path")
+
+    f = sub.add_parser("filter", help="filter an external GAF (interop)")
+    f.add_argument("-a", "--gaf", required=True)
+    f.add_argument("-g", "--gfa", required=True)
+    f.add_argument("-p", "--prefix", required=True)
+    f.add_argument("-O", "--dover", type=int, default=100)
+
+    pr = sub.add_parser("predict", help="genotype from informative-aln JSON")
+    pr.add_argument("-d", "--aln", required=True)
+    pr.add_argument("-v", "--vcf", required=True)
+    pr.add_argument("-o", "--output", required=True)
+    pr.add_argument("-ms", "--minsupport", type=int, default=3)
+    pr.add_argument("-e", "--err", type=float, default=0.00005)
+
+    e = sub.add_parser("eval", help="genotype concordance table")
+    e.add_argument("truth_vcf")
+    e.add_argument("predicted_vcf")
+
+
+def _honor_platform_env() -> None:
+    """Make JAX_PLATFORMS effective despite the ambient TPU-tunnel plugin.
+
+    The environment's sitecustomize registers the axon PJRT plugin in every
+    interpreter and pins the default platform, so the standard env var is
+    silently ignored; re-applying it through jax.config before any backend
+    initialization restores the documented behavior (e.g. run_test.sh pins
+    the correctness gate to CPU while benchmarks keep the TPU).
+    """
+    import os
+
+    requested = os.environ.get("JAX_PLATFORMS")
+    if requested:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", requested)
+        except Exception:
+            pass
+
+
+def main(argv=None) -> int:
+    _honor_platform_env()
+    parser = argparse.ArgumentParser(
+        prog="svjedi_tpu",
+        description="TPU-native structural-variant genotyping for long reads",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+    _add_run(sub)
+    _add_stage_parsers(sub)
+    args = parser.parse_args(argv)
+
+    if args.command == "run":
+        from .config import DistConfig, GenotypeConfig, PipelineConfig
+        from .pipeline import run_pipeline
+
+        print("Constructing variation graph and panel...")
+        cfg = PipelineConfig(
+            vcf=args.vcf,
+            ref=args.ref,
+            reads=tuple(args.reads.split(",")),
+            prefix=args.prefix,
+            genotype=GenotypeConfig(min_support=args.minsupport, err=args.err),
+            dist=DistConfig(data_shards=max(1, args.threads)),
+            keep_artifacts=not args.no_artifacts,
+            profile_dir=args.profile_dir,
+        )
+        result = run_pipeline(cfg)
+        print(f"Genotyped svs: {result['stats'].counters['genotyped_svs']}")
+        return 0
+
+    if args.command == "graph":
+        from .graph.build import (
+            build_graph, write_gfa, write_ignored_svs, write_svs_edges_json,
+        )
+        from .graph.svparse import parse_vcf_svs
+        from .io.fasta import read_fasta
+
+        chroms = read_fasta(args.ref)
+        parsed = parse_vcf_svs(args.vcf, {c: len(s) for c, s in chroms.items()})
+        graph = build_graph(chroms, parsed)
+        out = args.output
+        prefix = out.replace(".gfa", "_") if out.endswith(".gfa") else out + "_"
+        write_gfa(graph, out)
+        write_svs_edges_json(graph, f"{prefix}svs_edges.json")
+        write_ignored_svs(parsed, f"{prefix}ignored_svs.txt")
+        return 0
+
+    if args.command == "filter":
+        from .genotype.filter_gaf import filter_gaf_files, write_informative_json
+
+        informative = filter_gaf_files(
+            args.gaf, args.gfa, f"{args.prefix}_svs_edges.json", args.dover
+        )
+        write_informative_json(informative, f"{args.prefix}_informative_aln.json")
+        return 0
+
+    if args.command == "predict":
+        from .genotype.filter_gaf import counts_from_informative
+        from .genotype.vcf_writer import write_genotyped_vcf
+
+        with open(args.aln) as fh:
+            informative = json.load(fh)
+        counts = counts_from_informative(informative)
+        summary = write_genotyped_vcf(
+            args.vcf, args.output, counts,
+            min_support=args.minsupport, err=args.err,
+        )
+        print("Genotyped svs: " + str(summary["genotyped_svs"]))
+        return 0
+
+    if args.command == "eval":
+        from .evals.contingency import contingency_report
+
+        sys.stdout.write(contingency_report(args.truth_vcf, args.predicted_vcf))
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

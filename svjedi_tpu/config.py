@@ -46,9 +46,9 @@ class AlignConfig:
     #: Flank length (bases) kept on each side of a junction cluster.
     flank: int = 1000
     #: Breakpoints closer than this merge into one junction cluster.
-    cluster_gap: int = 1000
+    cluster_gap: int = 500
     #: Caps on local path enumeration per cluster.
-    max_paths_per_cluster: int = 32
+    max_paths_per_cluster: int = 64
     max_hops_per_path: int = 24
 
 

@@ -1,0 +1,105 @@
+"""End-to-end pipeline: VCF + FASTA + FASTQ → genotyped VCF.
+
+In-process equivalent of the reference's four-subprocess orchestration
+(svjedi-graph.py:26-128), with the same artifact contract on disk when
+``keep_artifacts`` is set: ``<prefix>.gfa``, ``<prefix>_svs_edges.json``,
+``<prefix>_ignored_svs.txt``, ``<prefix>_informative_aln.json``,
+``<prefix>_genotype.vcf`` — plus ``<prefix>_stats.json`` (ours).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, Optional
+
+from .config import PipelineConfig
+from .graph.build import (
+    build_graph,
+    write_gfa,
+    write_ignored_svs,
+    write_svs_edges_json,
+)
+from .graph.cluster import build_panel
+from .graph.svparse import parse_vcf_svs
+from .align.index import build_panel_index
+from .align.pipeline import align_and_count
+from .genotype.filter_gaf import write_informative_json
+from .genotype.vcf_writer import write_genotyped_vcf
+from .io.fasta import read_fasta
+from .io.fastq import read_reads
+from .utils.stats import RunStats
+
+
+def run_pipeline(cfg: PipelineConfig) -> Dict:
+    """Run all stages; returns summary info."""
+    stats = RunStats()
+    prefix = cfg.prefix
+
+    with stats.timer("load_reference"):
+        chroms = read_fasta(cfg.ref)
+        chrom_lengths = {c: len(s) for c, s in chroms.items()}
+
+    with stats.timer("construct_graph"):
+        parsed = parse_vcf_svs(cfg.vcf, chrom_lengths)
+        graph = build_graph(chroms, parsed)
+    stats.set("n_svs", len(parsed.svs))
+    stats.set("n_discarded_svs", len(parsed.discarded))
+    stats.set("n_nodes", graph.n_nodes)
+    stats.set("n_links", len(graph.links))
+    if cfg.keep_artifacts:
+        write_gfa(graph, f"{prefix}.gfa")
+        write_svs_edges_json(graph, f"{prefix}_svs_edges.json")
+        write_ignored_svs(parsed, f"{prefix}_ignored_svs.txt")
+
+    with stats.timer("build_panel"):
+        panel = build_panel(
+            graph,
+            flank=cfg.align.flank,
+            cluster_gap=cfg.align.cluster_gap,
+            max_paths_per_cluster=cfg.align.max_paths_per_cluster,
+            max_hops_per_path=cfg.align.max_hops_per_path,
+        )
+        index = build_panel_index(
+            panel,
+            k=cfg.align.kmer,
+            w=cfg.align.window,
+            max_hits_per_minimizer=cfg.align.max_hits_per_minimizer,
+        )
+    stats.set("n_clusters", len(panel.clusters))
+    stats.set("n_panel_paths", panel.n_paths)
+    stats.set("panel_bases", panel.total_bases())
+
+    with stats.timer("load_reads"):
+        reads = read_reads(cfg.reads)
+    stats.set("n_reads", reads.n_reads)
+    stats.set("read_bases", int(reads.lengths.sum()))
+
+    with stats.timer("align"):
+        counts, audit, winners = align_and_count(
+            reads, panel, index, cfg.align, cfg.genotype
+        )
+    stats.set("n_winning_alignments", int(len(winners.read)))
+    stats.set(
+        "n_informative_alignments",
+        int(sum(sum(v) for v in counts.values())),
+    )
+    if cfg.keep_artifacts:
+        write_informative_json(audit, f"{prefix}_informative_aln.json")
+
+    with stats.timer("genotype"):
+        out_vcf = f"{prefix}_genotype.vcf"
+        summary = write_genotyped_vcf(
+            cfg.vcf,
+            out_vcf,
+            counts,
+            min_support=cfg.genotype.min_support,
+            err=cfg.genotype.err,
+        )
+    stats.counters.update(summary)
+    stats.dump(f"{prefix}_stats.json")
+    return {
+        "counts": counts,
+        "stats": stats,
+        "output_vcf": out_vcf,
+    }

@@ -11,12 +11,21 @@ import subprocess
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment registers the axon TPU-tunnel PJRT
+# plugin from sitecustomize at interpreter start and pins the default
+# platform, ignoring the JAX_PLATFORMS env var. Overriding via jax.config
+# *before any backend initialization* is the reliable switch; it must be
+# paired with the host-device-count flag before that first initialization.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest
 

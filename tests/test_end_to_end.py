@@ -1,0 +1,110 @@
+"""End-to-end pipeline tests.
+
+- A fast self-contained synthetic run (small genome, DEL/INS/INV) asserting
+  full genotype concordance.
+- The full golden test-dir run (the reference CI's primary gate) is
+  opt-in via SVJT_E2E=1 because it takes minutes on CPU; run_test.sh and
+  the verify workflow exercise it.
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tests.conftest import REPO_ROOT, TEST_DATA
+
+from svjedi_tpu.config import PipelineConfig
+from svjedi_tpu.evals.contingency import contingency_report
+from svjedi_tpu.io import sim
+from svjedi_tpu.pipeline import run_pipeline
+
+
+def test_synthetic_end_to_end(tmp_path):
+    rng = np.random.default_rng(11)
+    simulation = sim.simulate(
+        seed=11,
+        chrom_lengths={"chrA": 60000, "chrB": 40000},
+        n_svs=12,
+        sv_types=("DEL", "INS", "INV"),
+    )
+    vcf = tmp_path / "truth.vcf"
+    fasta = tmp_path / "ref.fasta"
+    fastq = tmp_path / "reads.fastq"
+    sim.write_truth_vcf(simulation, vcf)
+    from svjedi_tpu.io.fasta import write_fasta
+
+    write_fasta(fasta, simulation.chroms)
+    names, seqs = sim.simulate_reads(
+        rng, simulation.haplotypes, coverage=18.0, mean_len=6000, sd_len=2000
+    )
+    sim.write_fastq(fastq, names, seqs)
+
+    cfg = PipelineConfig(
+        vcf=vcf,
+        ref=fasta,
+        reads=(str(fastq),),
+        prefix=str(tmp_path / "out"),
+    )
+    result = run_pipeline(cfg)
+    report = contingency_report(vcf, result["output_vcf"])
+    # Full concordance: accuracy 100.0, no unpredicted SVs.
+    assert "Genotyping accuracy: 100.0" in report, report
+    assert "Number of unpredicted SV: 0" in report, report
+    assert f"Number of known SVs: {len(simulation.svs)}" in report
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SVJT_E2E"),
+    reason="full golden run takes minutes on CPU; set SVJT_E2E=1 "
+    "(run_test.sh runs it)",
+)
+def test_golden_end_to_end(tmp_path):
+    if not TEST_DATA.exists():
+        pytest.skip("reference test-dir not available")
+    cfg = PipelineConfig(
+        vcf=TEST_DATA / "test.vcf",
+        ref=TEST_DATA / "reference_genome.fasta",
+        reads=(str(TEST_DATA / "simulated_reads.fastq.gz"),),
+        prefix=str(tmp_path / "test"),
+    )
+    result = run_pipeline(cfg)
+    report = contingency_report(TEST_DATA / "test.vcf", result["output_vcf"])
+    golden = (TEST_DATA / "expected_genotype.vcf.eval").read_text()
+    assert report == golden
+
+
+def test_cli_graph_and_eval(tmp_path):
+    if not TEST_DATA.exists():
+        pytest.skip("reference test-dir not available")
+    out = tmp_path / "g.gfa"
+    rc = subprocess.run(
+        [
+            sys.executable, "-m", "svjedi_tpu", "graph",
+            "-v", str(TEST_DATA / "test.vcf"),
+            "-r", str(TEST_DATA / "reference_genome.fasta"),
+            "-o", str(out),
+        ],
+        cwd=REPO_ROOT,
+        capture_output=True,
+        text=True,
+    )
+    assert rc.returncode == 0, rc.stderr
+    assert out.exists()
+    assert (tmp_path / "g_svs_edges.json").exists()
+
+    rc = subprocess.run(
+        [
+            sys.executable, "-m", "svjedi_tpu", "eval",
+            str(TEST_DATA / "test.vcf"),
+            str(TEST_DATA / "expected_genotype.vcf"),
+        ],
+        cwd=REPO_ROOT,
+        capture_output=True,
+        text=True,
+    )
+    assert rc.returncode == 0, rc.stderr
+    assert "Genotyping accuracy: 100.0" in rc.stdout
