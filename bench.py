@@ -38,6 +38,17 @@ BASELINE_READS_PER_S = float(os.environ.get("SVJT_BASELINE_READS_PER_S", "500"))
 def main() -> int:
     sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+    # Persistent compilation cache: Mosaic/XLA compiles through the TPU
+    # tunnel cost minutes cold; cache them across bench processes.
+    import jax
+
+    cache_dir = os.environ.get("SVJT_JAX_CACHE", "/tmp/svjt_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
     from svjedi_tpu.align.index import build_panel_index
     from svjedi_tpu.align.pipeline import align_and_count
     from svjedi_tpu.config import AlignConfig, GenotypeConfig
@@ -106,10 +117,17 @@ def main() -> int:
             + [np.array([base.codes.size * REPS])]
         ),
     )
+    timings = {}
     t0 = time.perf_counter()
     align_and_count(reps, panel, index, align_cfg, genotype_cfg,
-                    collect_audit=False)
+                    collect_audit=False, timings=timings)
     dt = time.perf_counter() - t0
+    print(
+        f"[bench] reads={reps.n_reads} total={dt:.2f}s "
+        + " ".join(f"{k}={v:.2f}" if isinstance(v, float) else f"{k}={v}"
+                   for k, v in timings.items()),
+        file=sys.stderr,
+    )
 
     reads_per_s = reps.n_reads / dt
     result = {

@@ -169,4 +169,127 @@ const char* svt_result_name(void* handle, int64_t i) {
 
 void svt_result_free(void* handle) { delete static_cast<Result*>(handle); }
 
+// ---------------------------------------------------------------------------
+// Minimizer extraction (the host-side seeding hot loop).
+//
+// Canonical k-mer minimizers with murmur3-fmix32 hashing, identical to the
+// numpy implementation in svjedi_tpu/align/minimizer.py (same constants,
+// same leftmost-argmin-per-window selection via a monotonic deque), so the
+// native and fallback paths produce the same anchors.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct MinimizerResult {
+  std::vector<int32_t> read_id;
+  std::vector<int32_t> pos;     // local to the read
+  std::vector<uint32_t> hash;
+  std::vector<int8_t> strand;
+};
+
+inline uint32_t fmix32(uint32_t x) {
+  x ^= x >> 16;
+  x *= 0x85EBCA6Bu;
+  x ^= x >> 13;
+  x *= 0xC2B2AE35u;
+  x ^= x >> 16;
+  return x;
+}
+
+constexpr uint32_t kInvalid = 0xFFFFFFFFu;
+
+}  // namespace
+
+// Returns an opaque MinimizerResult* for the concatenated read set.
+void* svt_minimizers(const int8_t* codes, int64_t n_bases,
+                     const int64_t* offsets, int64_t n_reads, int32_t k,
+                     int32_t w) {
+  (void)n_bases;
+  auto* result = new MinimizerResult();
+  if (k <= 0 || k > 15 || w <= 0) return result;
+  const uint32_t mask = (1u << (2 * k)) - 1;
+  const int shift = 2 * (k - 1);
+
+  struct Entry {
+    uint32_t hash;
+    int64_t kstart;
+    int8_t strand;
+  };
+  // Monotonic queue: ring-free array with compaction; <= w live entries.
+  std::vector<Entry> queue(2 * w + 2);
+
+  for (int64_t r = 0; r < n_reads; ++r) {
+    const int64_t lo = offsets[r], hi = offsets[r + 1];
+    const int64_t n_kmers = hi - lo - k + 1;
+    if (n_kmers <= 0) continue;
+    uint32_t fwd = 0, rc = 0;
+    int run = 0;  // consecutive non-N bases ending at i
+    int head = 0, tail = 0;
+    int64_t last_emitted = -1;
+    for (int64_t i = lo; i < hi; ++i) {
+      const int8_t c = codes[i];
+      if (c < 4) {
+        fwd = ((fwd << 2) | (uint32_t)c) & mask;
+        rc = (rc >> 2) | ((uint32_t)(3 - c) << shift);
+        ++run;
+      } else {
+        fwd = rc = 0;
+        run = 0;
+      }
+      const int64_t kstart = i - k + 1;
+      if (kstart < lo) continue;
+      uint32_t h = kInvalid;
+      int8_t strand = 0;
+      if (run >= k && fwd != rc) {
+        strand = (int8_t)(rc < fwd ? 1 : 0);
+        h = fmix32(rc < fwd ? rc : fwd);
+        // A real hash colliding with the sentinel stays invalid, matching
+        // the numpy path's post-hoc `hash != INVALID` filter.
+      }
+      // Evict out-of-window entries, then push keeping the queue
+      // non-decreasing (strict pops retain the leftmost tie).
+      while (tail > head && queue[head].kstart <= kstart - w) ++head;
+      while (tail > head && queue[tail - 1].hash > h) --tail;
+      if (tail == (int)queue.size()) {
+        std::copy(queue.begin() + head, queue.begin() + tail, queue.begin());
+        tail -= head;
+        head = 0;
+      }
+      queue[tail++] = {h, kstart, strand};
+      const bool window_full =
+          (kstart >= lo + w - 1) || (kstart == hi - k && n_kmers < w);
+      if (window_full) {
+        const Entry& best = queue[head];
+        if (best.hash != kInvalid && best.kstart != last_emitted) {
+          last_emitted = best.kstart;
+          result->read_id.push_back((int32_t)r);
+          result->pos.push_back((int32_t)(best.kstart - lo));
+          result->hash.push_back(best.hash);
+          result->strand.push_back(best.strand);
+        }
+      }
+    }
+  }
+  return result;
+}
+
+int64_t svt_minimizers_count(void* handle) {
+  return (int64_t) static_cast<MinimizerResult*>(handle)->hash.size();
+}
+
+void svt_minimizers_copy(void* handle, int32_t* read_id, int32_t* pos,
+                         uint32_t* hash, int8_t* strand) {
+  auto* r = static_cast<MinimizerResult*>(handle);
+  const size_t n = r->hash.size();
+  if (n == 0) return;
+  memcpy(read_id, r->read_id.data(), n * sizeof(int32_t));
+  memcpy(pos, r->pos.data(), n * sizeof(int32_t));
+  memcpy(hash, r->hash.data(), n * sizeof(uint32_t));
+  memcpy(strand, r->strand.data(), n * sizeof(int8_t));
+}
+
+void svt_minimizers_free(void* handle) {
+  delete static_cast<MinimizerResult*>(handle);
+}
+
 }  // extern "C"

@@ -26,7 +26,7 @@ class PanelIndex:
     k: int
     w: int
     #: sorted unique minimizer hashes with their hit ranges
-    uniq_hash: np.ndarray  # uint64 (U,)
+    uniq_hash: np.ndarray  # uint32 (U,)
     hit_start: np.ndarray  # int64 (U+1,) prefix offsets into hit arrays
     #: hit payloads, grouped by hash
     hit_path: np.ndarray  # int32 path id
@@ -35,6 +35,9 @@ class PanelIndex:
     #: per-path cluster id (convenience copy)
     path_cluster: np.ndarray  # int32
     path_len: np.ndarray  # int32
+    #: first/last owned-junction offset per path (path-space)
+    path_first_j: np.ndarray  # int32
+    path_last_j: np.ndarray  # int32
 
     def lookup(
         self, hashes: np.ndarray
@@ -106,4 +109,12 @@ def build_panel_index(
             [p.cluster_id for p in panel.paths], dtype=np.int32
         ),
         path_len=np.array([p.length for p in panel.paths], dtype=np.int32),
+        path_first_j=np.array(
+            [min((j for _, _, j in p.owned), default=0) for p in panel.paths],
+            dtype=np.int32,
+        ),
+        path_last_j=np.array(
+            [max((j for _, _, j in p.owned), default=0) for p in panel.paths],
+            dtype=np.int32,
+        ),
     )

@@ -19,23 +19,119 @@ from typing import Tuple
 import numpy as np
 
 #: Sentinel hash for invalid (N-containing) k-mer positions.
-_INVALID = np.uint64(0xFFFFFFFFFFFFFFFF)
+_INVALID = np.uint32(0xFFFFFFFF)
 
 
-def _mix64(x: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer (public-domain mixing constants)."""
-    x = x.astype(np.uint64)
-    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _INVALID
-    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _INVALID
-    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _INVALID
-    return x ^ (x >> np.uint64(31))
+def _mix32(x: np.ndarray) -> np.ndarray:
+    """murmur3 fmix32 finalizer (public-domain mixing constants).
+
+    32-bit hashing keeps the whole pipeline in uint32 (k <= 15 -> 30-bit
+    k-mers): half the memory traffic of a 64-bit mix, and the ~0.2% birthday
+    collision rate at millions of keys only adds noise anchors that the
+    diagonal vote discards.
+    """
+    x = x.astype(np.uint32)
+    x ^= x >> np.uint32(16)
+    with np.errstate(over="ignore"):
+        x *= np.uint32(0x85EBCA6B)
+        x ^= x >> np.uint32(13)
+        x *= np.uint32(0xC2B2AE35)
+    x ^= x >> np.uint32(16)
+    return x
 
 
 @dataclass
 class Minimizers:
     pos: np.ndarray  # int32 k-mer start positions
-    hash: np.ndarray  # uint64 canonical hashes
+    hash: np.ndarray  # uint32 canonical hashes
     strand: np.ndarray  # int8: 0 = forward k-mer is canonical, 1 = revcomp
+
+
+def _kmer_values(codes: np.ndarray, k: int):
+    """(fwd, rc, valid) uint32 arrays over all k-mer start positions.
+
+    Rolling-shift formulation over contiguous uint32 buffers — no strided
+    (n, k) window matrix, no 8-byte temporaries. Requires k <= 15 (2k bits
+    must fit 32). In-place ops keep the temp count minimal.
+    """
+    if k > 15:
+        raise ValueError("k must be <= 15 for 32-bit k-mer packing")
+    n = len(codes) - k + 1
+    c = codes.astype(np.uint32)
+    comp = np.uint32(3) - c  # N (4) wraps; masked by `valid`
+    fwd = np.zeros(n, dtype=np.uint32)
+    rc = np.zeros(n, dtype=np.uint32)
+    valid = np.ones(n, dtype=bool)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            fwd <<= np.uint32(2)
+            fwd |= c[j : n + j]
+            rc <<= np.uint32(2)
+            rc |= comp[k - 1 - j : n + k - 1 - j]
+            valid &= codes[j : n + j] < 4
+    return fwd, rc, valid
+
+
+def _window_argmin(h: np.ndarray, w: int):
+    """Leftmost argmin position of every length-w window (rolling, O(n·w))."""
+    n = len(h) - w + 1
+    m = h[:n].copy()
+    arg = np.zeros(n, dtype=np.int64)
+    for d in range(1, w):
+        cand = h[d : n + d]
+        take = cand < m
+        np.minimum(m, cand, out=m)
+        arg[take] = d
+    return arg + np.arange(n, dtype=np.int64)
+
+
+@dataclass
+class FlatMinimizers:
+    read_id: np.ndarray  # int32
+    pos: np.ndarray  # int32, local to the read
+    hash: np.ndarray  # uint32
+    strand: np.ndarray  # int8
+
+
+def extract_minimizers_flat(
+    codes: np.ndarray, offsets: np.ndarray, k: int, w: int
+) -> FlatMinimizers:
+    """Minimizers for a whole concatenated read set in one pass.
+
+    One vectorized sweep over the flat code array; k-mers crossing read
+    boundaries are invalidated. Window-min selection runs on the flat array,
+    so within w-1 positions of a read boundary the selected set can differ
+    marginally from per-read extraction (a neighbor read's hash can shadow a
+    would-be minimizer) — a sensitivity difference well below the anchor
+    redundancy the seeder relies on, for a >100x cut in Python dispatch.
+    """
+    n = len(codes)
+    if n < k or len(offsets) <= 1:
+        z = np.zeros(0, np.int32)
+        return FlatMinimizers(z, z, np.zeros(0, np.uint32), z.astype(np.int8))
+    fwd, rc, valid = _kmer_values(codes, k)
+
+    # Invalidate k-mers that straddle a read boundary.
+    pos = np.arange(len(fwd), dtype=np.int64)
+    read_id = np.searchsorted(offsets, pos, side="right") - 1
+    valid &= pos + k <= offsets[read_id + 1]
+
+    canonical = np.minimum(fwd, rc)
+    strand = (rc < fwd).astype(np.int8)
+    hashes = _mix32(canonical)
+    hashes = np.where(valid & (fwd != rc), hashes, _INVALID)
+
+    if len(hashes) < w:
+        w = len(hashes)
+    sel = np.unique(_window_argmin(hashes, w))
+    sel = sel[hashes[sel] != _INVALID]
+    rid = read_id[sel]
+    return FlatMinimizers(
+        read_id=rid.astype(np.int32),
+        pos=(sel - offsets[rid]).astype(np.int32),
+        hash=hashes[sel],
+        strand=strand[sel],
+    )
 
 
 def extract_minimizers(codes: np.ndarray, k: int, w: int) -> Minimizers:
@@ -43,27 +139,20 @@ def extract_minimizers(codes: np.ndarray, k: int, w: int) -> Minimizers:
     n = len(codes)
     if n < k:
         return Minimizers(
-            np.zeros(0, np.int32), np.zeros(0, np.uint64), np.zeros(0, np.int8)
+            np.zeros(0, np.int32), np.zeros(0, np.uint32), np.zeros(0, np.int8)
         )
-    windows = np.lib.stride_tricks.sliding_window_view(codes, k).astype(np.uint64)
-    powers = (np.uint64(4) ** np.arange(k - 1, -1, -1, dtype=np.uint64))
-    fwd = windows @ powers
-    rc = (np.uint64(3) - windows) @ powers[::-1]
-    valid = (windows < 4).all(axis=1)
+    fwd, rc, valid = _kmer_values(codes, k)
 
     canonical = np.minimum(fwd, rc)
     strand = (rc < fwd).astype(np.int8)
-    with np.errstate(over="ignore"):
-        hashes = _mix64(canonical)
+    hashes = _mix32(canonical)
     # Invalidate N-containing and strand-ambiguous (palindromic) k-mers.
     hashes = np.where(valid & (fwd != rc), hashes, _INVALID)
 
     n_kmers = len(hashes)
     if n_kmers < w:
         w = n_kmers
-    win = np.lib.stride_tricks.sliding_window_view(hashes, w)
-    argmin = win.argmin(axis=1) + np.arange(len(win), dtype=np.int64)
-    pos = np.unique(argmin)
+    pos = np.unique(_window_argmin(hashes, w))
     pos = pos[hashes[pos] != _INVALID]
     return Minimizers(
         pos=pos.astype(np.int32),

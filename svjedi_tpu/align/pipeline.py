@@ -101,7 +101,37 @@ def build_problem_batches(
         path_len.astype(np.int64) - cands.d0 + B // 2 + slack, 0, cand_rlen
     )
     m = (rw_end - rw_start).astype(np.int64)
-    order = np.flatnonzero(m >= index.k)
+    keep = m >= index.k
+
+    # Junction-reachability prune: a (read, cluster) whose target coverage
+    # cannot put d_over bases on both sides of any junction of any of its
+    # paths can never contribute a count — and reads confined to shared
+    # flanks are the common case, so this cuts DP volume hard. The test is
+    # necessary-only (first/last junction bounds + band slop), so no
+    # countable alignment is ever dropped.
+    d_over = 100
+    margin = B // 2 + cfg.diag_bin
+    t_lo = cands.d0.astype(np.int64) + rw_start - margin
+    t_hi = cands.d0.astype(np.int64) + rw_end + margin
+    possible = (
+        (t_lo <= index.path_last_j[cands.path] - d_over)
+        & (t_hi >= index.path_first_j[cands.path] + d_over)
+    )
+    cluster_key = (
+        cands.read.astype(np.int64) * (int(index.path_cluster.max()) + 1)
+        + index.path_cluster[cands.path]
+    )
+    order_k = np.argsort(cluster_key, kind="stable")
+    ck_sorted = cluster_key[order_k]
+    group_start = np.ones(len(ck_sorted), dtype=bool)
+    group_start[1:] = ck_sorted[1:] != ck_sorted[:-1]
+    group_ids = np.cumsum(group_start) - 1
+    any_possible = np.zeros(group_ids[-1] + 1 if len(group_ids) else 0, bool)
+    np.logical_or.at(any_possible, group_ids, possible[order_k])
+    keep_sorted = any_possible[group_ids]
+    keep[order_k] &= keep_sorted
+
+    order = np.flatnonzero(keep)
     bucket_of = np.array(
         [_pick_bucket(int(v), cfg.buckets) for v in m[order]], dtype=np.int64
     )
@@ -285,13 +315,26 @@ def align_and_count(
     align_cfg: AlignConfig,
     genotype_cfg: GenotypeConfig,
     collect_audit: bool = True,
+    timings: Optional[Dict[str, float]] = None,
 ):
     """Full aligner stage: reads + panel → (counts, audit, winners)."""
+    import time
+
+    t0 = time.perf_counter()
     cands = seed_candidates(
         reads, index, align_cfg.min_anchors, align_cfg.diag_bin
     )
+    t1 = time.perf_counter()
     winners = align_candidates(reads, panel, index, cands, align_cfg)
+    t2 = time.perf_counter()
     counts, audit = count_support(
         panel, winners, reads, genotype_cfg.d_over, collect_audit
     )
+    t3 = time.perf_counter()
+    if timings is not None:
+        timings["seed_s"] = t1 - t0
+        timings["dp_s"] = t2 - t1
+        timings["count_s"] = t3 - t2
+        timings["n_candidates"] = len(cands)
+        timings["n_winners"] = int(len(winners.read))
     return counts, audit, winners

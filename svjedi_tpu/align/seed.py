@@ -14,8 +14,9 @@ from typing import List
 import numpy as np
 
 from ..io.fastq import ReadSet
+from ..utils.native import load_native
 from .index import PanelIndex
-from .minimizer import extract_minimizers
+from .minimizer import extract_minimizers_flat
 
 
 @dataclass
@@ -52,25 +53,24 @@ def seed_candidates(
     diag_bin: int = 128,
 ) -> Candidates:
     """Compute alignment candidates for every read against the panel."""
-    read_ids: List[np.ndarray] = []
-    rpos: List[np.ndarray] = []
-    rhash: List[np.ndarray] = []
-    rstrand: List[np.ndarray] = []
     rlen = reads.lengths
-    for i in range(reads.n_reads):
-        mins = extract_minimizers(reads.seq(i), index.k, index.w)
-        read_ids.append(np.full(len(mins.pos), i, dtype=np.int32))
-        rpos.append(mins.pos)
-        rhash.append(mins.hash)
-        rstrand.append(mins.strand)
-
-    if not read_ids:
+    native = load_native()
+    native_result = (
+        native.minimizers(reads.codes, reads.offsets, index.k, index.w)
+        if native is not None
+        else None
+    )
+    if native_result is not None:
+        q_read, q_pos, q_hash, q_strand = native_result
+    else:
+        flat = extract_minimizers_flat(
+            reads.codes, reads.offsets, index.k, index.w
+        )
+        q_read, q_pos = flat.read_id, flat.pos
+        q_hash, q_strand = flat.hash, flat.strand
+    if len(q_pos) == 0:
         z = np.zeros(0, np.int32)
         return Candidates(z, z, z.astype(np.int8), z, z)
-    q_read = np.concatenate(read_ids)
-    q_pos = np.concatenate(rpos)
-    q_hash = np.concatenate(rhash)
-    q_strand = np.concatenate(rstrand)
 
     start, end = index.lookup(q_hash)
     hit_idx, counts = _expand_ranges(start, end)

@@ -25,7 +25,7 @@ class AlignConfig:
     #: Minimum anchors on one diagonal band for a (read, cluster) candidate.
     min_anchors: int = 2
     #: Diagonal rounding used when voting anchors into bands (bases).
-    diag_bin: int = 128
+    diag_bin: int = 64
 
     # Banded affine-gap DP (scores in the minimap2 convention).
     match: int = 2
@@ -36,7 +36,7 @@ class AlignConfig:
     gap_open2: int = -24
     gap_extend2: int = -1
     #: DP band width in bases (lanes); multiple of 128.
-    band: int = 256
+    band: int = 128
     #: Minimum winning DP score for an alignment to be counted at all.
     min_score: int = 40
     #: Read/path length buckets for fixed-shape batching.
@@ -44,7 +44,7 @@ class AlignConfig:
 
     # Panel construction.
     #: Flank length (bases) kept on each side of a junction cluster.
-    flank: int = 1000
+    flank: int = 600
     #: Breakpoints closer than this merge into one junction cluster.
     cluster_gap: int = 500
     #: Caps on local path enumeration per cluster.

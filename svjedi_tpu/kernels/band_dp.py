@@ -4,11 +4,20 @@ Same contract as align.extend.band_dp_batch (the XLA scan reference), laid
 out for the VPU: problems ride the sublane axis (8 per tile), the band rides
 the lane axis (multiple of 128), and all row-to-row state lives in VMEM
 scratch. The horizontal-gap prefix scan uses log2(band) shifted maxes (see
-align/extend.py docstring); per-lane best tracking defers the expensive
-cross-lane argmax to a single reduction at the end of each problem tile.
+align/extend.py docstring).
+
+Optimizations over the straightforward port:
+- alignment-start coordinates (qs, ts) are packed into one int32 per cell
+  (qs << 16 | ts), halving the start-propagation shifts and selects; valid
+  for read windows < 32768 and target windows < 65536 (enforced);
+- per-lane best tracking defers the cross-lane argmax to one reduction at
+  the end of each problem tile;
+- target/read rows are loaded from 128-aligned chunks and rotated by the
+  residue (Mosaic requires aligned lane offsets; dynamic rotate is 32-bit).
 
 Equivalence with the reference implementation is asserted in
-tests/test_pallas_kernel.py (interpret mode on CPU, compiled on TPU).
+tests/test_pallas_kernel.py (interpret mode on CPU; compiled on TPU in
+bench runs).
 """
 
 from __future__ import annotations
@@ -41,23 +50,21 @@ def _shift_right_s(a, k_idx, s, fill):
     return jnp.where(k_idx < s, fill, rolled)
 
 
-def _kernel(q_ref, t_ref, out_ref, H, V, SQH, STH, SQV, STV,
-            BEST, BQS, BTS, BQE, BTE, *, band, m_rows, params):
+def _kernel(q_ref, t_ref, out_ref, H, V, SH, SV, BEST, BS, BQE, BTE,
+            *, band, m_rows, params):
     B = band
     oe = params.open_extend
     ext = params.gap_extend
     k_idx = jax.lax.broadcasted_iota(jnp.int32, (P_TILE, B), 1)
 
-    # Row "-1": everything empty.
+    # Row "-1": everything empty. Start of the diagonal successor of init
+    # cell k is (qs=0, ts=k).
     H[:] = jnp.zeros((P_TILE, B), jnp.int32)
     V[:] = jnp.full((P_TILE, B), NEG, jnp.int32)
-    SQH[:] = jnp.zeros((P_TILE, B), jnp.int32)
-    STH[:] = k_idx
-    SQV[:] = jnp.zeros((P_TILE, B), jnp.int32)
-    STV[:] = k_idx
+    SH[:] = k_idx  # packed (0 << 16) | k
+    SV[:] = k_idx
     BEST[:] = jnp.zeros((P_TILE, B), jnp.int32)
-    BQS[:] = jnp.zeros((P_TILE, B), jnp.int32)
-    BTS[:] = jnp.zeros((P_TILE, B), jnp.int32)
+    BS[:] = jnp.zeros((P_TILE, B), jnp.int32)
     BQE[:] = jnp.full((P_TILE, B), -1, jnp.int32)
     BTE[:] = jnp.full((P_TILE, B), -1, jnp.int32)
 
@@ -73,64 +80,51 @@ def _kernel(q_ref, t_ref, out_ref, H, V, SQH, STH, SQV, STV,
         sub = jnp.where((qi == trow) & (qi < 4), params.match, params.mismatch)
 
         h_prev, v_prev = H[:], V[:]
-        sqh, sth, sqv, stv = SQH[:], STH[:], SQV[:], STV[:]
+        sh, sv = SH[:], SV[:]
 
         h_up = _shift_left(h_prev, k_idx, B, NEG)
         v_up = _shift_left(v_prev, k_idx, B, NEG)
-        sqh_up = _shift_left(sqh, k_idx, B, 0)
-        sth_up = _shift_left(sth, k_idx, B, 0)
-        sqv_up = _shift_left(sqv, k_idx, B, 0)
-        stv_up = _shift_left(stv, k_idx, B, 0)
+        sh_up = _shift_left(sh, k_idx, B, 0)
+        sv_up = _shift_left(sv, k_idx, B, 0)
 
         v_open = h_up + oe
         v_ext = v_up + ext
         v_new = jnp.maximum(v_open, v_ext)
-        take_open = v_open >= v_ext
-        sqv_new = jnp.where(take_open, sqh_up, sqv_up)
-        stv_new = jnp.where(take_open, sth_up, stv_up)
+        sv_new = jnp.where(v_open >= v_ext, sh_up, sv_up)
 
         diag = h_prev + sub
         htmp = jnp.maximum(diag, v_new)
-        take_diag = diag >= v_new
-        sq_t = jnp.where(take_diag, sqh, sqv_new)
-        st_t = jnp.where(take_diag, sth, stv_new)
+        s_t = jnp.where(diag >= v_new, sh, sv_new)
         reset = htmp <= 0
         htmp = jnp.maximum(htmp, 0)
-        sq_t = jnp.where(reset, i + 1, sq_t)
-        st_t = jnp.where(reset, i + 1 + k_idx, st_t)
+        # New alignment starts at the diagonal successor (i+1, k).
+        s_t = jnp.where(reset, ((i + 1) << 16) + (i + 1) + k_idx, s_t)
 
         F = _shift_right_s(htmp, k_idx, 1, NEG) + oe
-        fq = _shift_right_s(sq_t, k_idx, 1, 0)
-        ft = _shift_right_s(st_t, k_idx, 1, 0)
+        fs = _shift_right_s(s_t, k_idx, 1, 0)
         s = 1
         while s < B:
             cand = _shift_right_s(F, k_idx, s, NEG) + ext * s
-            cq = _shift_right_s(fq, k_idx, s, 0)
-            ct = _shift_right_s(ft, k_idx, s, 0)
+            cs = _shift_right_s(fs, k_idx, s, 0)
             take = cand > F
             F = jnp.where(take, cand, F)
-            fq = jnp.where(take, cq, fq)
-            ft = jnp.where(take, ct, ft)
+            fs = jnp.where(take, cs, fs)
             s <<= 1
 
         take_f = F > htmp
         h_new = jnp.where(take_f, F, htmp)
-        sqh_new = jnp.where(take_f, fq, sq_t)
-        sth_new = jnp.where(take_f, ft, st_t)
+        sh_new = jnp.where(take_f, fs, s_t)
 
         improved = h_new > BEST[:]
         BEST[:] = jnp.where(improved, h_new, BEST[:])
-        BQS[:] = jnp.where(improved, sqh_new, BQS[:])
-        BTS[:] = jnp.where(improved, sth_new, BTS[:])
+        BS[:] = jnp.where(improved, sh_new, BS[:])
         BQE[:] = jnp.where(improved, i, BQE[:])
         BTE[:] = jnp.where(improved, i + k_idx, BTE[:])
 
         H[:] = h_new
         V[:] = v_new
-        SQH[:] = sqh_new
-        STH[:] = sth_new
-        SQV[:] = sqv_new
-        STV[:] = stv_new
+        SH[:] = sh_new
+        SV[:] = sv_new
         return 0
 
     jax.lax.fori_loop(0, m_rows, row, 0)
@@ -147,9 +141,10 @@ def _kernel(q_ref, t_ref, out_ref, H, V, SQH, STH, SQV, STV,
     def select(arr):
         return jnp.sum(jnp.where(pick, arr, 0), axis=1, keepdims=True)
 
+    packed = select(BS[:])
     out_ref[:, 0:1] = best
-    out_ref[:, 1:2] = select(BQS[:])
-    out_ref[:, 2:3] = select(BTS[:])
+    out_ref[:, 1:2] = packed >> 16
+    out_ref[:, 2:3] = packed & 0xFFFF
     out_ref[:, 3:4] = select(BQE[:])
     out_ref[:, 4:5] = select(BTE[:])
     out_ref[:, 5:8] = jnp.zeros((P_TILE, 3), jnp.int32)
@@ -170,13 +165,10 @@ def band_dp_pallas(
     assert P % P_TILE == 0, "batch must be a multiple of 8"
     assert band % 128 == 0, "band must be a multiple of 128"
     assert M % 128 == 0, "read-window length must be a multiple of 128"
+    assert M < (1 << 15) and M + band < (1 << 16), "packed starts need M<32768"
     grid = (P // P_TILE,)
-    scratch = [
-        pltpu.VMEM((P_TILE, band), jnp.int32) for _ in range(11)
-    ]
-    kernel = functools.partial(
-        _kernel, band=band, m_rows=M, params=params
-    )
+    scratch = [pltpu.VMEM((P_TILE, band), jnp.int32) for _ in range(8)]
+    kernel = functools.partial(_kernel, band=band, m_rows=M, params=params)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -192,7 +184,9 @@ def band_dp_pallas(
         out_shape=jax.ShapeDtypeStruct((P, 8), jnp.int32),
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
-            flops=40 * P * M * band, bytes_accessed=P * (2 * M + band), transcendentals=0
+            flops=40 * P * M * band,
+            bytes_accessed=P * (2 * M + band),
+            transcendentals=0,
         ),
         interpret=interpret,
     )(q, t)

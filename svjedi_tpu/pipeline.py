@@ -52,6 +52,28 @@ def run_pipeline(cfg: PipelineConfig) -> Dict:
         write_svs_edges_json(graph, f"{prefix}_svs_edges.json")
         write_ignored_svs(parsed, f"{prefix}_ignored_svs.txt")
 
+    # Stage-artifact resume (SURVEY §5.4: the reference's on-disk staging
+    # gives de-facto resumability; we honor the same contract): with an
+    # existing informative-aln JSON, the aligner is skipped and counts come
+    # from the audit table.
+    informative_path = Path(f"{prefix}_informative_aln.json")
+    if cfg.resume and informative_path.exists():
+        from .genotype.filter_gaf import counts_from_informative
+
+        with informative_path.open() as fh:
+            audit = json.load(fh)
+        counts = counts_from_informative(audit)
+        stats.set("resumed_from", str(informative_path))
+        with stats.timer("genotype"):
+            out_vcf = f"{prefix}_genotype.vcf"
+            summary = write_genotyped_vcf(
+                cfg.vcf, out_vcf, counts,
+                min_support=cfg.genotype.min_support, err=cfg.genotype.err,
+            )
+        stats.counters.update(summary)
+        stats.dump(f"{prefix}_stats.json")
+        return {"counts": counts, "stats": stats, "output_vcf": out_vcf}
+
     with stats.timer("build_panel"):
         panel = build_panel(
             graph,
@@ -75,11 +97,24 @@ def run_pipeline(cfg: PipelineConfig) -> Dict:
     stats.set("n_reads", reads.n_reads)
     stats.set("read_bases", int(reads.lengths.sum()))
 
+    profiling = cfg.profile_dir is not None
+    if profiling:
+        import jax
+
+        jax.profiler.start_trace(str(cfg.profile_dir))
     with stats.timer("align"):
         counts, audit, winners = align_and_count(
             reads, panel, index, cfg.align, cfg.genotype
         )
+    if profiling:
+        import jax
+
+        jax.profiler.stop_trace()
     stats.set("n_winning_alignments", int(len(winners.read)))
+    if cfg.write_gaf:
+        from .align.gaf_out import write_gaf as _write_gaf
+
+        _write_gaf(f"{prefix}.gaf", panel, winners, reads)
     stats.set(
         "n_informative_alignments",
         int(sum(sum(v) for v in counts.values())),

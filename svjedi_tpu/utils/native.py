@@ -21,6 +21,25 @@ _LIB_SEARCHED = False
 class _NativeIO:
     def __init__(self, lib: ctypes.CDLL):
         self._lib = lib
+        if hasattr(lib, "svt_minimizers"):
+            lib.svt_minimizers.restype = ctypes.c_void_p
+            lib.svt_minimizers.argtypes = [
+                ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_int32,
+            ]
+            lib.svt_minimizers_count.restype = ctypes.c_int64
+            lib.svt_minimizers_count.argtypes = [ctypes.c_void_p]
+            lib.svt_minimizers_copy.restype = None
+            lib.svt_minimizers_copy.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint32),
+                ctypes.POINTER(ctypes.c_int8),
+            ]
+            lib.svt_minimizers_free.restype = None
+            lib.svt_minimizers_free.argtypes = [ctypes.c_void_p]
         lib.svt_read_sequences.restype = ctypes.c_void_p
         lib.svt_read_sequences.argtypes = [ctypes.c_char_p]
         lib.svt_result_n_reads.restype = ctypes.c_int64
@@ -37,6 +56,43 @@ class _NativeIO:
         lib.svt_result_name.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.svt_result_free.restype = None
         lib.svt_result_free.argtypes = [ctypes.c_void_p]
+
+    def minimizers(
+        self, codes: np.ndarray, offsets: np.ndarray, k: int, w: int
+    ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+        """Native minimizer extraction; returns (read_id, pos, hash, strand)."""
+        lib = self._lib
+        if not hasattr(lib, "svt_minimizers"):
+            return None
+        codes = np.ascontiguousarray(codes, dtype=np.int8)
+        offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+        handle = lib.svt_minimizers(
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            ctypes.c_int64(len(codes)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(len(offsets) - 1),
+            ctypes.c_int32(k),
+            ctypes.c_int32(w),
+        )
+        if not handle:
+            return None
+        try:
+            n = lib.svt_minimizers_count(handle)
+            read_id = np.empty(n, dtype=np.int32)
+            pos = np.empty(n, dtype=np.int32)
+            hashes = np.empty(n, dtype=np.uint32)
+            strand = np.empty(n, dtype=np.int8)
+            if n:
+                lib.svt_minimizers_copy(
+                    handle,
+                    read_id.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    hashes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                    strand.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                )
+            return read_id, pos, hashes, strand
+        finally:
+            lib.svt_minimizers_free(handle)
 
     def read_sequences(
         self, path: str
