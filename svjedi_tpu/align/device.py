@@ -1,0 +1,181 @@
+"""Device-resident alignment engine: fused window fetch + DP.
+
+HBM-bandwidth-first design: the flat read codes (forward ++ whole-array
+reverse complement) and the sentinel-padded flat panel sequence are uploaded
+to the device once per read chunk; each DP batch is described by five int32
+metadata vectors, and windows are fetched on the device — via async DMA
+inside the Pallas kernel on TPU (kernels/band_dp_dma.py), or an XLA gather
+on CPU. Host↔device traffic per batch is kilobytes.
+
+Layout invariants (shared by both engines):
+- ``reads2`` = fwd codes ++ revcomp codes ++ sentinel bases; reverse-strand
+  windows are addressed inside the rc half with positive stride (rc of read
+  r with offsets [o_r, o_r+1) starts at 2N - o_{r+1}). N is the forward-half
+  length *after* padding the codes up to a coarse shape class (so chunk-size
+  jitter does not mint new compiled shapes); the A-padding tail is masked by
+  the per-problem window length ``m``.
+- ``panel_padded`` = pad ++ panel ++ pad with pad >= max_window + 2*ALIGN,
+  so window fetches (including the DMA kernel's tile-aligned coarse spans)
+  are always in range; per-path validity is enforced from absolute
+  [t_lo, t_hi) bounds.
+- both buffers' total lengths are multiples of the Mosaic 1-D int8 tile
+  (kernels/band_dp_dma.ALIGN).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .extend import DPParams, band_dp_batch
+
+
+@dataclass
+class DeviceData:
+    reads2: jnp.ndarray  # int8 (2N + pad,)
+    panel_padded: jnp.ndarray  # int8 (pad + total + pad,)
+    panel_start: np.ndarray  # int64 per-path start into panel_padded (host)
+    panel_len: np.ndarray  # int64 per-path length (host)
+    n_bases: int  # N (forward half length)
+    pad: int
+
+
+@functools.partial(jax.jit, static_argnames=("n", "pad", "packed"))
+def _expand_reads(payload: jnp.ndarray, n: int, pad: int, packed: bool):
+    """Build the fwd ++ revcomp ++ sentinel read layout on device."""
+    if packed:
+        idx = jnp.arange(n, dtype=jnp.int32)
+        byte = jnp.take(payload, idx >> 2)
+        shift = ((idx & 3) * 2).astype(jnp.uint8)
+        codes = ((byte >> shift) & 3).astype(jnp.int8)
+    else:
+        codes = payload
+    flipped = jnp.flip(codes)
+    rc = jnp.where(flipped < 4, 3 - flipped, flipped).astype(jnp.int8)
+    sentinel = jnp.full((pad,), 4, jnp.int8)
+    return jnp.concatenate([codes, rc, sentinel])
+
+
+def _pack_2bit(codes: np.ndarray) -> np.ndarray:
+    pad = (-len(codes)) % 4
+    padded = np.concatenate([codes, np.zeros(pad, np.int8)]).astype(np.uint8)
+    quads = padded.reshape(-1, 4)
+    return (
+        quads[:, 0]
+        | (quads[:, 1] << 2)
+        | (quads[:, 2] << 4)
+        | (quads[:, 3] << 6)
+    ).astype(np.uint8)
+
+
+#: Mosaic 1-D int8 tile (see kernels/band_dp_dma.ALIGN): buffer lengths are
+#: padded to multiples of this so tile-aligned DMA spans stay in range.
+ALIGN = 1024
+#: Reads-buffer shape-class granule: the forward-half length is rounded up
+#: to a multiple of this, so per-chunk base-count jitter maps to a handful
+#: of compiled shapes instead of one per chunk (compiles through the TPU
+#: tunnel cost seconds each).
+SHAPE_GRANULE = 1 << 19
+
+
+def upload(
+    reads_codes: np.ndarray,
+    panel,
+    panel_cache: dict = None,
+    max_window: int = 30976,
+) -> DeviceData:
+    """Upload a read chunk + panel to the device (panel cached across chunks).
+
+    Reads are 2-bit packed before transfer (4x less tunnel/PCIe traffic)
+    when N-free; the device unpacks and builds the fwd++rc layout.
+    """
+    pad = max_window + 4 * ALIGN
+    if panel_cache is not None and "flat" in panel_cache:
+        panel_padded = panel_cache["flat"]
+        starts = panel_cache["starts"]
+        lens = panel_cache["lens"]
+    else:
+        lens = np.array([p.length for p in panel.paths], dtype=np.int64)
+        starts = np.zeros(len(lens), dtype=np.int64)
+        if len(lens):
+            np.cumsum(lens[:-1], out=starts[1:])
+        starts += pad
+        total = pad + int(lens.sum()) + pad
+        total += (-total) % ALIGN
+        flat = np.full(total, 4, dtype=np.int8)
+        pos = pad
+        for p in panel.paths:
+            flat[pos : pos + p.length] = p.seq
+            pos += p.length
+        panel_padded = jnp.asarray(flat)
+        if panel_cache is not None:
+            panel_cache["flat"] = panel_padded
+            panel_cache["starts"] = starts
+            panel_cache["lens"] = lens
+
+    n = len(reads_codes)
+    granule = min(SHAPE_GRANULE, max(4096, pad))
+    n_cap = ((n + granule - 1) // granule) * granule
+    # Sentinel tail sized so the total is ALIGN-aligned (2*n_cap + pad_tot).
+    pad_tot = pad + (-(2 * n_cap + pad)) % ALIGN
+    if n < n_cap:
+        reads_codes = np.concatenate(
+            [reads_codes, np.zeros(n_cap - n, dtype=np.int8)]
+        )
+    if n_cap and not (reads_codes == 4).any():
+        payload = jnp.asarray(_pack_2bit(reads_codes))
+        reads2 = _expand_reads(payload, n=n_cap, pad=pad_tot, packed=True)
+    else:
+        reads2 = _expand_reads(
+            jnp.asarray(reads_codes), n=n_cap, pad=pad_tot, packed=False
+        )
+    return DeviceData(
+        reads2=reads2,
+        panel_padded=panel_padded,
+        panel_start=starts,
+        panel_len=lens,
+        n_bases=n_cap,
+        pad=pad,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bucket", "band", "params", "engine")
+)
+def window_score(
+    reads2: jnp.ndarray,
+    panel_padded: jnp.ndarray,
+    q_start: jnp.ndarray,  # (P,) int32 window start in reads2
+    m: jnp.ndarray,  # (P,) int32 read-window length
+    t_start: jnp.ndarray,  # (P,) int32 target window lane-0 in panel_padded
+    t_lo: jnp.ndarray,  # (P,) int32 first valid index of the path
+    t_hi: jnp.ndarray,  # (P,) int32 one-past-last valid index
+    bucket: int,
+    band: int,
+    params: DPParams,
+    engine: str,  # "dma" (TPU) or "gather" (CPU/reference)
+) -> Dict[str, jnp.ndarray]:
+    """Fetch fixed-shape windows on device and run the banded DP."""
+    if engine == "dma":
+        from ..kernels.band_dp_dma import band_dp_dma
+
+        return band_dp_dma(
+            reads2, panel_padded, q_start, t_start, m, t_lo, t_hi,
+            bucket=bucket, band=band, params=params,
+        )
+
+    cols = jnp.arange(bucket, dtype=jnp.int32)
+    qidx = q_start[:, None] + cols[None, :]
+    qv = jnp.take(reads2, jnp.clip(qidx, 0, reads2.size - 1))
+    q = jnp.where(cols[None, :] < m[:, None], qv, 4).astype(jnp.int8)
+    tcols = jnp.arange(bucket + band, dtype=jnp.int32)
+    tidx = t_start[:, None] + tcols[None, :]
+    tvalid = (tidx >= t_lo[:, None]) & (tidx < t_hi[:, None])
+    tv = jnp.take(panel_padded, jnp.clip(tidx, 0, panel_padded.size - 1))
+    t = jnp.where(tvalid, tv, 4).astype(jnp.int8)
+    return band_dp_batch(q, t, band, params)

@@ -54,42 +54,22 @@ def _pick_bucket(m: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
-def _dp_engine():
-    """Pick the DP engine: Pallas kernel on TPU, XLA scan elsewhere."""
-    import jax
-
-    if jax.default_backend() not in ("cpu",):
-        from ..kernels.band_dp import band_dp_pallas
-
-        def tpu_engine(q, t, band, params):
-            # The kernel tiles problems in sublane groups of 8.
-            P = q.shape[0]
-            pad = (-P) % 8
-            if pad:
-                import numpy as _np
-
-                q = _np.concatenate([q, _np.full((pad, q.shape[1]), 4, q.dtype)])
-                t = _np.concatenate([t, _np.full((pad, t.shape[1]), 4, t.dtype)])
-            out = band_dp_pallas(q, t, band, params)
-            return {k: v[:P] for k, v in out.items()}
-
-        return tpu_engine
-    return band_dp_batch
-
-
-def build_problem_batches(
+def candidate_windows(
     reads: ReadSet,
-    panel: Panel,
     index: PanelIndex,
     cands: Candidates,
     cfg: AlignConfig,
-    batch_size: int = 512,
 ):
-    """Yield fixed-shape DP problem batches for a candidate set.
+    """Per-candidate read-window bounds + junction-reachability prune.
 
-    Yields ``(chunk_indices, q_batch, t_batch, t_starts, rw_start_chunk)``
-    per batch, grouped by read-window length bucket. Shared by the host
-    aligner, the device count step, and the benchmarks.
+    Returns (rw_start, rw_end, m, keep): the oriented-read window [rw_start,
+    rw_end) each candidate aligns from, its length m, and the keep mask.
+
+    The prune: a (read, cluster) whose target coverage cannot put d_over
+    bases on both sides of any junction of any of its paths can never
+    contribute a count — reads confined to shared flanks are dropped as a
+    group. The test is necessary-only (first/last junction bounds + band
+    slop), so no countable alignment is ever dropped.
     """
     B = cfg.band
     slack = 2 * cfg.diag_bin
@@ -103,12 +83,6 @@ def build_problem_batches(
     m = (rw_end - rw_start).astype(np.int64)
     keep = m >= index.k
 
-    # Junction-reachability prune: a (read, cluster) whose target coverage
-    # cannot put d_over bases on both sides of any junction of any of its
-    # paths can never contribute a count — and reads confined to shared
-    # flanks are the common case, so this cuts DP volume hard. The test is
-    # necessary-only (first/last junction bounds + band slop), so no
-    # countable alignment is ever dropped.
     d_over = 100
     margin = B // 2 + cfg.diag_bin
     t_lo = cands.d0.astype(np.int64) + rw_start - margin
@@ -117,20 +91,39 @@ def build_problem_batches(
         (t_lo <= index.path_last_j[cands.path] - d_over)
         & (t_hi >= index.path_first_j[cands.path] + d_over)
     )
-    cluster_key = (
-        cands.read.astype(np.int64) * (int(index.path_cluster.max()) + 1)
-        + index.path_cluster[cands.path]
-    )
-    order_k = np.argsort(cluster_key, kind="stable")
-    ck_sorted = cluster_key[order_k]
-    group_start = np.ones(len(ck_sorted), dtype=bool)
-    group_start[1:] = ck_sorted[1:] != ck_sorted[:-1]
-    group_ids = np.cumsum(group_start) - 1
-    any_possible = np.zeros(group_ids[-1] + 1 if len(group_ids) else 0, bool)
-    np.logical_or.at(any_possible, group_ids, possible[order_k])
-    keep_sorted = any_possible[group_ids]
-    keep[order_k] &= keep_sorted
+    if len(cands):
+        cluster_key = (
+            cands.read.astype(np.int64) * (int(index.path_cluster.max()) + 1)
+            + index.path_cluster[cands.path]
+        )
+        order_k = np.argsort(cluster_key, kind="stable")
+        ck_sorted = cluster_key[order_k]
+        group_start = np.ones(len(ck_sorted), dtype=bool)
+        group_start[1:] = ck_sorted[1:] != ck_sorted[:-1]
+        group_ids = np.cumsum(group_start) - 1
+        any_possible = np.zeros(group_ids[-1] + 1, bool)
+        np.logical_or.at(any_possible, group_ids, possible[order_k])
+        keep[order_k] &= any_possible[group_ids]
+    return rw_start, rw_end, m, keep
 
+
+def build_problem_batches(
+    reads: ReadSet,
+    panel: Panel,
+    index: PanelIndex,
+    cands: Candidates,
+    cfg: AlignConfig,
+    batch_size: int = 512,
+):
+    """Yield fixed-shape DP problem batches for a candidate set.
+
+    Host-materialized variant (tests/debug); the production path gathers
+    windows on device (align/device.py). Yields ``(chunk_indices, q_batch,
+    t_batch, t_starts, rw_start_chunk)`` per batch, grouped by bucket.
+    """
+    B = cfg.band
+    path_len = index.path_len[cands.path]
+    rw_start, rw_end, m, keep = candidate_windows(reads, index, cands, cfg)
     order = np.flatnonzero(keep)
     bucket_of = np.array(
         [_pick_bucket(int(v), cfg.buckets) for v in m[order]], dtype=np.int64
@@ -175,16 +168,35 @@ def build_problem_batches(
             yield chunk, q_batch, t_batch, t_starts, rw_start[chunk]
 
 
+def _pad_sizes(batch_size: int):
+    """Tail-chunk pad sizes: one small + the full size.
+
+    Keeping the compiled-shape set tiny matters more than padded-row waste:
+    every distinct (P, bucket) pair is a separate Mosaic compile, and
+    compiles through the TPU tunnel cost seconds.
+    """
+    return [min(256, batch_size), batch_size]
+
+
 def align_candidates(
     reads: ReadSet,
     panel: Panel,
     index: PanelIndex,
     cands: Candidates,
     cfg: AlignConfig,
-    batch_size: int = 512,
+    batch_size: int = 1024,
+    device_data=None,
 ) -> Winners:
-    """Score all candidates and reduce to per-(read, cluster) winners."""
-    dp = _dp_engine()
+    """Score all candidates and reduce to per-(read, cluster) winners.
+
+    All sequence data lives on the device (align/device.py); each batch is
+    dispatched with a few int32 metadata vectors and the results stream back
+    asynchronously.
+    """
+    from . import device as dev
+
+    import jax
+
     B = cfg.band
     params = DPParams(
         match=cfg.match,
@@ -192,6 +204,7 @@ def align_candidates(
         gap_open=cfg.gap_open,
         gap_extend=cfg.gap_extend,
     )
+    engine = "gather" if jax.default_backend() == "cpu" else "dma"
 
     n = len(cands)
     out_score = np.zeros(n, dtype=np.int64)
@@ -199,22 +212,81 @@ def align_candidates(
     out_qe = np.full(n, -1, dtype=np.int64)
     out_ts = np.zeros(n, dtype=np.int64)
     out_te = np.full(n, -1, dtype=np.int64)
+    if n == 0:
+        empty = np.zeros(0, np.int64)
+        return Winners(*([empty] * 9))
 
-    # Dispatch every batch asynchronously, then sync once: device dispatch
-    # latency overlaps with host-side construction of the next batch.
+    if device_data is None:
+        device_data = dev.upload(reads.codes, panel)
+
+    rw_start, rw_end, m, keep = candidate_windows(reads, index, cands, cfg)
+    order = np.flatnonzero(keep)
+    bucket_of = np.array(
+        [_pick_bucket(int(v), cfg.buckets) for v in m[order]], dtype=np.int64
+    )
+
+    # Per-candidate window metadata (indices into the device layout; see
+    # align/device.py invariants). Reverse-strand windows address the rc
+    # half with positive stride.
+    N = device_data.n_bases
+    read_off = reads.offsets[cands.read]
+    read_end = reads.offsets[cands.read + 1]
+    q_start = np.where(
+        cands.strand == 0,
+        read_off + rw_start,
+        N + (N - read_end) + rw_start,
+    ).astype(np.int32)
+    t_start_rel = cands.d0.astype(np.int64) + rw_start - B // 2
+    path_start = device_data.panel_start[cands.path]
+    t_start = (path_start + t_start_rel).astype(np.int32)
+    t_lo = path_start.astype(np.int32)
+    t_hi = (path_start + device_data.panel_len[cands.path]).astype(np.int32)
+    m32 = m.astype(np.int32)
+
+    pad_sizes = _pad_sizes(batch_size)
+
+    def padded(P: int) -> int:
+        for s in pad_sizes:
+            if P <= s:
+                return s
+        return batch_size
+
     pending = []
-    for chunk, q_batch, t_batch, t_starts, rw_start_chunk in (
-        build_problem_batches(reads, panel, index, cands, cfg, batch_size)
-    ):
-        result = dp(q_batch, t_batch, B, params)
-        pending.append((chunk, t_starts, rw_start_chunk, result))
+    for bucket in sorted(set(bucket_of.tolist())):
+        sel = order[bucket_of == bucket]
+        for lo in range(0, len(sel), batch_size):
+            chunk = sel[lo : lo + batch_size]
+            P = len(chunk)
+            Ppad = padded(P)
 
-    for chunk, t_starts, rw_start_chunk, result in pending:
-        out_score[chunk] = np.asarray(result["score"])
-        out_qs[chunk] = np.asarray(result["qs"]) + rw_start_chunk
-        out_qe[chunk] = np.asarray(result["qe"]) + rw_start_chunk
-        out_ts[chunk] = np.asarray(result["ts"]) + t_starts
-        out_te[chunk] = np.asarray(result["te"]) + t_starts
+            def take(arr, fill=0):
+                out = np.full(Ppad, fill, dtype=np.int32)
+                out[:P] = arr[chunk]
+                return out
+
+            result = dev.window_score(
+                device_data.reads2,
+                device_data.panel_padded,
+                take(q_start),
+                take(m32),  # padding rows get m=0 → empty problems
+                take(t_start),
+                take(t_lo),
+                take(t_hi, 0),
+                bucket=int(bucket),
+                band=B,
+                params=params,
+                engine=engine,
+            )
+            pending.append((chunk, result))
+
+    for chunk, result in pending:
+        P = len(chunk)
+        out_score[chunk] = np.asarray(result["score"][:P])
+        out_qs[chunk] = np.asarray(result["qs"][:P]) + rw_start[chunk]
+        out_qe[chunk] = np.asarray(result["qe"][:P]) + rw_start[chunk]
+        t_starts = cands.d0[chunk].astype(np.int64) + rw_start[chunk] - B // 2
+        out_ts[chunk] = np.asarray(result["ts"][:P]) + t_starts
+        out_te[chunk] = np.asarray(result["te"][:P]) + t_starts
 
     # ---- winner per (read, cluster) ----
     cluster = index.path_cluster[cands.path].astype(np.int64)
@@ -316,25 +388,83 @@ def align_and_count(
     genotype_cfg: GenotypeConfig,
     collect_audit: bool = True,
     timings: Optional[Dict[str, float]] = None,
+    chunk_reads: int = 2048,
+    batch_size: int = 4096,
 ):
-    """Full aligner stage: reads + panel → (counts, audit, winners)."""
+    """Full aligner stage: reads + panel → (counts, audit, winners).
+
+    Reads stream in fixed-size chunks: host buffers stay warm (this matters
+    on sandboxed hosts where first-touch page allocation is expensive),
+    memory stays bounded, and the chunk loop is the natural per-host unit of
+    the data-parallel distribution model (ARCHITECTURE.md).
+    """
     import time
 
-    t0 = time.perf_counter()
-    cands = seed_candidates(
-        reads, index, align_cfg.min_anchors, align_cfg.diag_bin
-    )
-    t1 = time.perf_counter()
-    winners = align_candidates(reads, panel, index, cands, align_cfg)
-    t2 = time.perf_counter()
-    counts, audit = count_support(
-        panel, winners, reads, genotype_cfg.d_over, collect_audit
-    )
-    t3 = time.perf_counter()
+    from . import device as dev
+
     if timings is not None:
-        timings["seed_s"] = t1 - t0
-        timings["dp_s"] = t2 - t1
-        timings["count_s"] = t3 - t2
-        timings["n_candidates"] = len(cands)
-        timings["n_winners"] = int(len(winners.read))
-    return counts, audit, winners
+        timings.setdefault("seed_s", 0.0)
+        timings.setdefault("dp_s", 0.0)
+        timings.setdefault("count_s", 0.0)
+        timings.setdefault("n_candidates", 0)
+        timings.setdefault("n_winners", 0)
+
+    counts: Dict[str, List[int]] = {}
+    audit: Dict[str, List[List[str]]] = {}
+    winner_parts: List[Winners] = []
+    panel_cache: Dict = {}
+
+    for start in range(0, max(reads.n_reads, 1), chunk_reads):
+        stop = min(start + chunk_reads, reads.n_reads)
+        if start >= stop:
+            break
+        chunk = reads.slice(start, stop)
+
+        t0 = time.perf_counter()
+        cands = seed_candidates(
+            chunk, index, align_cfg.min_anchors, align_cfg.diag_bin
+        )
+        t1 = time.perf_counter()
+        device_data = dev.upload(chunk.codes, panel, panel_cache)
+        winners = align_candidates(
+            chunk, panel, index, cands, align_cfg,
+            batch_size=batch_size, device_data=device_data,
+        )
+        t2 = time.perf_counter()
+        chunk_counts, chunk_audit = count_support(
+            panel, winners, chunk, genotype_cfg.d_over, collect_audit
+        )
+        t3 = time.perf_counter()
+
+        for tag, pair in chunk_counts.items():
+            entry = counts.setdefault(tag, [0, 0])
+            entry[0] += pair[0]
+            entry[1] += pair[1]
+        for tag, pair in chunk_audit.items():
+            entry = audit.setdefault(tag, [[], []])
+            entry[0].extend(pair[0])
+            entry[1].extend(pair[1])
+        winners.read = winners.read + start  # rebase to global read ids
+        winner_parts.append(winners)
+
+        if timings is not None:
+            timings["seed_s"] += t1 - t0
+            timings["dp_s"] += t2 - t1
+            timings["count_s"] += t3 - t2
+            timings["n_candidates"] += len(cands)
+            timings["n_winners"] += int(len(winners.read))
+
+    if winner_parts:
+        merged = Winners(
+            *[
+                np.concatenate([getattr(w, f) for w in winner_parts])
+                for f in (
+                    "read", "cluster", "path", "strand", "score",
+                    "qs", "qe", "ts", "te",
+                )
+            ]
+        )
+    else:
+        empty = np.zeros(0, np.int64)
+        merged = Winners(*([empty] * 9))
+    return counts, audit, merged

@@ -40,7 +40,7 @@ class AlignConfig:
     #: Minimum winning DP score for an alignment to be counted at all.
     min_score: int = 40
     #: Read/path length buckets for fixed-shape batching.
-    buckets: tuple = (512, 1024, 2048, 4096, 8192, 16384, 32768)
+    buckets: tuple = (512, 1024, 2048, 4096, 8192, 16384, 30720)
 
     # Panel construction.
     #: Flank length (bases) kept on each side of a junction cluster.

@@ -45,6 +45,15 @@ class ReadSet:
     def seq(self, i: int) -> np.ndarray:
         return self.codes[self.offsets[i] : self.offsets[i + 1]]
 
+    def slice(self, start: int, stop: int) -> "ReadSet":
+        """Zero-copy view of reads [start, stop) with rebased offsets."""
+        lo, hi = self.offsets[start], self.offsets[stop]
+        return ReadSet(
+            names=self.names[start:stop],
+            codes=self.codes[lo:hi],
+            offsets=self.offsets[start : stop + 1] - lo,
+        )
+
 
 # ASCII -> code lookup: A/a=0 C/c=1 G/g=2 T/t=3, everything else 4.
 _LUT = np.full(256, 4, dtype=np.int8)
