@@ -36,7 +36,19 @@ BASELINE_READS_PER_S = float(os.environ.get("SVJT_BASELINE_READS_PER_S", "500"))
 
 
 def main() -> int:
-    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    root = Path(__file__).resolve().parent
+    sys.path.insert(0, str(root))
+
+    # The native I/O/minimizer library is a gitignored build artifact; build
+    # it on demand so a fresh checkout benches the real configuration.
+    if not (root / "native" / "libsvtfastio.so").exists():
+        import subprocess
+
+        subprocess.run(
+            ["make", "-C", str(root / "native")],
+            capture_output=True,
+            check=False,
+        )
 
     # Persistent compilation cache: Mosaic/XLA compiles through the TPU
     # tunnel cost minutes cold; cache them across bench processes.

@@ -12,9 +12,11 @@
 
 #include <zlib.h>
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -200,13 +202,17 @@ constexpr uint32_t kInvalid = 0xFFFFFFFFu;
 
 }  // namespace
 
-// Returns an opaque MinimizerResult* for the concatenated read set.
-void* svt_minimizers(const int8_t* codes, int64_t n_bases,
-                     const int64_t* offsets, int64_t n_reads, int32_t k,
-                     int32_t w) {
-  (void)n_bases;
-  auto* result = new MinimizerResult();
-  if (k <= 0 || k > 15 || w <= 0) return result;
+namespace {
+
+// Scans reads [r0, r1) appending minimizers to *result. When bitmap is
+// non-null, only hashes whose bit (hash masked to bitmap_bits) is set are
+// emitted — the caller sets bits for every panel-index hash, so ~99% of
+// read minimizers (which never hit the panel) are dropped here instead of
+// surviving into the numpy seeding stage. False positives are resolved by
+// the exact hash lookup downstream.
+void scan_minimizers(const int8_t* codes, const int64_t* offsets, int64_t r0,
+                     int64_t r1, int32_t k, int32_t w, const uint8_t* bitmap,
+                     uint32_t bitmap_mask, MinimizerResult* result) {
   const uint32_t mask = (1u << (2 * k)) - 1;
   const int shift = 2 * (k - 1);
 
@@ -218,7 +224,7 @@ void* svt_minimizers(const int8_t* codes, int64_t n_bases,
   // Monotonic queue: ring-free array with compaction; <= w live entries.
   std::vector<Entry> queue(2 * w + 2);
 
-  for (int64_t r = 0; r < n_reads; ++r) {
+  for (int64_t r = r0; r < r1; ++r) {
     const int64_t lo = offsets[r], hi = offsets[r + 1];
     const int64_t n_kmers = hi - lo - k + 1;
     if (n_kmers <= 0) continue;
@@ -262,6 +268,10 @@ void* svt_minimizers(const int8_t* codes, int64_t n_bases,
         const Entry& best = queue[head];
         if (best.hash != kInvalid && best.kstart != last_emitted) {
           last_emitted = best.kstart;
+          if (bitmap != nullptr) {
+            const uint32_t b = best.hash & bitmap_mask;
+            if (((bitmap[b >> 3] >> (b & 7)) & 1) == 0) continue;
+          }
           result->read_id.push_back((int32_t)r);
           result->pos.push_back((int32_t)(best.kstart - lo));
           result->hash.push_back(best.hash);
@@ -269,6 +279,78 @@ void* svt_minimizers(const int8_t* codes, int64_t n_bases,
         }
       }
     }
+  }
+}
+
+}  // namespace
+
+// Returns an opaque MinimizerResult* for the concatenated read set.
+void* svt_minimizers(const int8_t* codes, int64_t n_bases,
+                     const int64_t* offsets, int64_t n_reads, int32_t k,
+                     int32_t w) {
+  (void)n_bases;
+  auto* result = new MinimizerResult();
+  if (k <= 0 || k > 15 || w <= 0) return result;
+  scan_minimizers(codes, offsets, 0, n_reads, k, w, nullptr, 0, result);
+  return result;
+}
+
+// Thread-parallel + bitmap-prefiltered variant. bitmap may be null (no
+// filter); bitmap_log2 is the log2 of the bitmap size in BITS. n_threads
+// <= 0 picks the hardware concurrency.
+void* svt_minimizers2(const int8_t* codes, int64_t n_bases,
+                      const int64_t* offsets, int64_t n_reads, int32_t k,
+                      int32_t w, const uint8_t* bitmap, int32_t bitmap_log2,
+                      int32_t n_threads) {
+  (void)n_bases;
+  auto* result = new MinimizerResult();
+  if (k <= 0 || k > 15 || w <= 0 || n_reads <= 0) return result;
+  const uint32_t bitmap_mask =
+      bitmap ? ((bitmap_log2 >= 32) ? 0xFFFFFFFFu
+                                    : ((1u << bitmap_log2) - 1))
+             : 0;
+  int T = n_threads > 0 ? n_threads
+                        : (int)std::thread::hardware_concurrency();
+  if (T < 1) T = 1;
+  if ((int64_t)T > n_reads) T = (int)n_reads;
+  if (T == 1) {
+    scan_minimizers(codes, offsets, 0, n_reads, k, w, bitmap, bitmap_mask,
+                    result);
+    return result;
+  }
+  // Balance shards by base count, not read count (read lengths vary).
+  const int64_t total = offsets[n_reads] - offsets[0];
+  std::vector<int64_t> bounds(T + 1, n_reads);
+  bounds[0] = 0;
+  int64_t r = 0;
+  for (int t = 1; t < T; ++t) {
+    const int64_t target = offsets[0] + total * t / T;
+    while (r < n_reads && offsets[r] < target) ++r;
+    bounds[t] = r;
+  }
+  std::vector<MinimizerResult> parts(T);
+  std::vector<std::thread> threads;
+  threads.reserve(T);
+  for (int t = 0; t < T; ++t) {
+    threads.emplace_back([&, t]() {
+      scan_minimizers(codes, offsets, bounds[t], bounds[t + 1], k, w, bitmap,
+                      bitmap_mask, &parts[t]);
+    });
+  }
+  for (auto& th : threads) th.join();
+  size_t n = 0;
+  for (const auto& p : parts) n += p.hash.size();
+  result->read_id.reserve(n);
+  result->pos.reserve(n);
+  result->hash.reserve(n);
+  result->strand.reserve(n);
+  for (const auto& p : parts) {
+    result->read_id.insert(result->read_id.end(), p.read_id.begin(),
+                           p.read_id.end());
+    result->pos.insert(result->pos.end(), p.pos.begin(), p.pos.end());
+    result->hash.insert(result->hash.end(), p.hash.begin(), p.hash.end());
+    result->strand.insert(result->strand.end(), p.strand.begin(),
+                          p.strand.end());
   }
   return result;
 }

@@ -144,6 +144,48 @@ def upload(
     )
 
 
+#: Row order of the packed metadata matrix consumed by
+#: :func:`window_score_packed`.
+META_ROWS = ("q_start", "m", "t_start", "t_lo", "t_hi")
+#: Column order of its packed (P, 5) int32 result.
+OUT_COLS = ("score", "qs", "ts", "qe", "te")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bucket", "band", "params", "engine")
+)
+def window_score_packed(
+    reads2: jnp.ndarray,
+    panel_padded: jnp.ndarray,
+    meta: jnp.ndarray,  # (5, P) int32, rows per META_ROWS
+    bucket: int,
+    band: int,
+    params: DPParams,
+    engine: str,
+) -> jnp.ndarray:
+    """Transfer-frugal variant of :func:`window_score`.
+
+    One int32 matrix in, one (P, 5) int32 matrix out (columns per OUT_COLS)
+    that the caller keeps on device and transfers in bulk: the TPU tunnel
+    charges ~30-50 ms per host↔device array regardless of size, so the
+    per-batch 5-vectors-in / 5-slices-out pattern costs ~0.4 s/batch.
+    """
+    q_start, m, t_start, t_lo, t_hi = (meta[i] for i in range(5))
+    if engine == "dma":
+        from ..kernels.band_dp_dma import band_dp_dma_raw
+
+        out = band_dp_dma_raw(
+            reads2, panel_padded, q_start, t_start, m, t_lo, t_hi,
+            bucket=bucket, band=band, params=params,
+        )
+        return out[:, :5]
+    res = window_score(
+        reads2, panel_padded, q_start, m, t_start, t_lo, t_hi,
+        bucket=bucket, band=band, params=params, engine=engine,
+    )
+    return jnp.stack([res[c] for c in OUT_COLS], axis=1)
+
+
 @functools.partial(
     jax.jit, static_argnames=("bucket", "band", "params", "engine")
 )

@@ -39,6 +39,32 @@ class PanelIndex:
     path_first_j: np.ndarray  # int32
     path_last_j: np.ndarray  # int32
 
+    #: log2 of the prefilter bitmap size in bits (2 MiB of bitmap): with
+    #: ~10^4-10^6 panel hashes the false-positive rate stays well below 1%.
+    BITMAP_LOG2 = 24
+
+    def hash_bitmap(self) -> np.ndarray:
+        """Bit-per-masked-hash membership filter for the native seed scan.
+
+        Read minimizers overwhelmingly miss the panel (the panel covers only
+        breakpoint neighborhoods); the native scanner tests this bitmap and
+        drops misses before they ever reach numpy. False positives fall out
+        of the exact :meth:`lookup`.
+        """
+        bm = getattr(self, "_bitmap", None)
+        if bm is None:
+            bm = np.zeros(1 << (self.BITMAP_LOG2 - 3), dtype=np.uint8)
+            bits = self.uniq_hash.astype(np.uint32) & np.uint32(
+                (1 << self.BITMAP_LOG2) - 1
+            )
+            np.bitwise_or.at(
+                bm,
+                (bits >> np.uint32(3)).astype(np.int64),
+                (np.uint8(1) << (bits & np.uint32(7)).astype(np.uint8)),
+            )
+            self._bitmap = bm
+        return bm
+
     def lookup(
         self, hashes: np.ndarray
     ) -> Tuple[np.ndarray, np.ndarray]:

@@ -168,34 +168,48 @@ def build_problem_batches(
             yield chunk, q_batch, t_batch, t_starts, rw_start[chunk]
 
 
-def _pad_sizes(batch_size: int):
-    """Tail-chunk pad sizes: one small + the full size.
+def _pad_class(P: int, minimum: int = 256) -> int:
+    """Next power-of-two batch shape >= P (bounded compiled-shape set)."""
+    p = minimum
+    while p < P:
+        p <<= 1
+    return p
 
-    Keeping the compiled-shape set tiny matters more than padded-row waste:
-    every distinct (P, bucket) pair is a separate Mosaic compile, and
-    compiles through the TPU tunnel cost seconds.
+
+@dataclass
+class ChunkDispatch:
+    """DP results for one read chunk, still resident on the device.
+
+    The TPU tunnel charges ~30-50 ms per host↔device transfer regardless of
+    array size, so results from many chunks are concatenated on device and
+    fetched with ONE transfer (:func:`collect_outs`) instead of five small
+    reads per batch.
     """
-    return [min(256, batch_size), batch_size]
+
+    cands: Candidates
+    rw_start: np.ndarray
+    #: per batch: (candidate indices, device (Ppad, 5) int32 results)
+    batches: List[Tuple[np.ndarray, object]] = field(default_factory=list)
 
 
-def align_candidates(
+def dispatch_chunk(
     reads: ReadSet,
     panel: Panel,
     index: PanelIndex,
     cands: Candidates,
     cfg: AlignConfig,
-    batch_size: int = 1024,
-    device_data=None,
-) -> Winners:
-    """Score all candidates and reduce to per-(read, cluster) winners.
+    device_data,
+    batch_size: int = 32768,
+) -> ChunkDispatch:
+    """Enqueue all DP batches for one chunk; results stay on device.
 
-    All sequence data lives on the device (align/device.py); each batch is
-    dispatched with a few int32 metadata vectors and the results stream back
-    asynchronously.
+    Per bucket one packed (5, Ppad) int32 metadata matrix is uploaded (one
+    host→device transfer) and one kernel dispatch issued.
     """
     from . import device as dev
 
     import jax
+    import jax.numpy as jnp
 
     B = cfg.band
     params = DPParams(
@@ -206,20 +220,14 @@ def align_candidates(
     )
     engine = "gather" if jax.default_backend() == "cpu" else "dma"
 
-    n = len(cands)
-    out_score = np.zeros(n, dtype=np.int64)
-    out_qs = np.zeros(n, dtype=np.int64)
-    out_qe = np.full(n, -1, dtype=np.int64)
-    out_ts = np.zeros(n, dtype=np.int64)
-    out_te = np.full(n, -1, dtype=np.int64)
-    if n == 0:
-        empty = np.zeros(0, np.int64)
-        return Winners(*([empty] * 9))
-
-    if device_data is None:
-        device_data = dev.upload(reads.codes, panel)
+    disp = ChunkDispatch(
+        cands=cands, rw_start=np.zeros(len(cands), dtype=np.int64)
+    )
+    if len(cands) == 0:
+        return disp
 
     rw_start, rw_end, m, keep = candidate_windows(reads, index, cands, cfg)
+    disp.rw_start = rw_start
     order = np.flatnonzero(keep)
     bucket_of = np.array(
         [_pick_bucket(int(v), cfg.buckets) for v in m[order]], dtype=np.int64
@@ -243,50 +251,81 @@ def align_candidates(
     t_hi = (path_start + device_data.panel_len[cands.path]).astype(np.int32)
     m32 = m.astype(np.int32)
 
-    pad_sizes = _pad_sizes(batch_size)
-
-    def padded(P: int) -> int:
-        for s in pad_sizes:
-            if P <= s:
-                return s
-        return batch_size
-
-    pending = []
     for bucket in sorted(set(bucket_of.tolist())):
-        sel = order[bucket_of == bucket]
-        for lo in range(0, len(sel), batch_size):
-            chunk = sel[lo : lo + batch_size]
-            P = len(chunk)
-            Ppad = padded(P)
-
-            def take(arr, fill=0):
-                out = np.full(Ppad, fill, dtype=np.int32)
-                out[:P] = arr[chunk]
-                return out
-
-            result = dev.window_score(
+        sel_all = order[bucket_of == bucket]
+        for lo in range(0, len(sel_all), batch_size):
+            sel = sel_all[lo : lo + batch_size]
+            P = len(sel)
+            Ppad = _pad_class(P)
+            meta = np.zeros((5, Ppad), dtype=np.int32)
+            meta[0, :P] = q_start[sel]
+            meta[1, :P] = m32[sel]  # padding rows get m=0 → empty problems
+            meta[2, :P] = t_start[sel]
+            meta[3, :P] = t_lo[sel]
+            meta[4, :P] = t_hi[sel]
+            out = dev.window_score_packed(
                 device_data.reads2,
                 device_data.panel_padded,
-                take(q_start),
-                take(m32),  # padding rows get m=0 → empty problems
-                take(t_start),
-                take(t_lo),
-                take(t_hi, 0),
+                jnp.asarray(meta),
                 bucket=int(bucket),
                 band=B,
                 params=params,
                 engine=engine,
             )
-            pending.append((chunk, result))
+            disp.batches.append((sel, out))
+    return disp
 
-    for chunk, result in pending:
-        P = len(chunk)
-        out_score[chunk] = np.asarray(result["score"][:P])
-        out_qs[chunk] = np.asarray(result["qs"][:P]) + rw_start[chunk]
-        out_qe[chunk] = np.asarray(result["qe"][:P]) + rw_start[chunk]
-        t_starts = cands.d0[chunk].astype(np.int64) + rw_start[chunk] - B // 2
-        out_ts[chunk] = np.asarray(result["ts"][:P]) + t_starts
-        out_te[chunk] = np.asarray(result["te"][:P]) + t_starts
+
+def collect_outs(dispatches: Sequence[ChunkDispatch]) -> List[List[np.ndarray]]:
+    """Fetch every pending batch result with a single device→host transfer."""
+    import jax.numpy as jnp
+
+    outs = [out for d in dispatches for (_, out) in d.batches]
+    if not outs:
+        return [[] for _ in dispatches]
+    host = np.asarray(outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0))
+    per: List[List[np.ndarray]] = []
+    off = 0
+    for d in dispatches:
+        rows: List[np.ndarray] = []
+        for _, out in d.batches:
+            n = out.shape[0]
+            rows.append(host[off : off + n])
+            off += n
+        per.append(rows)
+    return per
+
+
+def finalize_chunk(
+    index: PanelIndex,
+    cfg: AlignConfig,
+    disp: ChunkDispatch,
+    host_rows: Sequence[np.ndarray],
+) -> Winners:
+    """Winner-per-(read, cluster) reduction from fetched batch results."""
+    cands = disp.cands
+    B = cfg.band
+    n = len(cands)
+    if n == 0:
+        empty = np.zeros(0, np.int64)
+        return Winners(*([empty] * 9))
+    out_score = np.zeros(n, dtype=np.int64)
+    out_qs = np.zeros(n, dtype=np.int64)
+    out_qe = np.full(n, -1, dtype=np.int64)
+    out_ts = np.zeros(n, dtype=np.int64)
+    out_te = np.full(n, -1, dtype=np.int64)
+
+    for (sel, _), host in zip(disp.batches, host_rows):
+        P = len(sel)
+        res = host[:P].astype(np.int64)
+        out_score[sel] = res[:, 0]
+        out_qs[sel] = res[:, 1] + disp.rw_start[sel]
+        out_qe[sel] = res[:, 3] + disp.rw_start[sel]
+        t_starts = (
+            cands.d0[sel].astype(np.int64) + disp.rw_start[sel] - B // 2
+        )
+        out_ts[sel] = res[:, 2] + t_starts
+        out_te[sel] = res[:, 4] + t_starts
 
     # ---- winner per (read, cluster) ----
     cluster = index.path_cluster[cands.path].astype(np.int64)
@@ -314,6 +353,27 @@ def align_candidates(
         ts=out_ts[win],
         te=out_te[win],
     )
+
+
+def align_candidates(
+    reads: ReadSet,
+    panel: Panel,
+    index: PanelIndex,
+    cands: Candidates,
+    cfg: AlignConfig,
+    batch_size: int = 32768,
+    device_data=None,
+) -> Winners:
+    """Score all candidates and reduce to per-(read, cluster) winners."""
+    from . import device as dev
+
+    if device_data is None and len(cands):
+        device_data = dev.upload(reads.codes, panel)
+    disp = dispatch_chunk(
+        reads, panel, index, cands, cfg, device_data, batch_size=batch_size
+    )
+    (host_rows,) = collect_outs([disp])
+    return finalize_chunk(index, cfg, disp, host_rows)
 
 
 def count_support(
@@ -389,7 +449,7 @@ def align_and_count(
     collect_audit: bool = True,
     timings: Optional[Dict[str, float]] = None,
     chunk_reads: int = 2048,
-    batch_size: int = 4096,
+    batch_size: int = 32768,
 ):
     """Full aligner stage: reads + panel → (counts, audit, winners).
 
@@ -414,6 +474,39 @@ def align_and_count(
     winner_parts: List[Winners] = []
     panel_cache: Dict = {}
 
+    # Phase 1 — dispatch: seed each chunk and enqueue its DP batches; all
+    # results stay on device. Phase 2 — collect: ONE device→host transfer
+    # for every pending batch, then the (host, numpy) winner reduction and
+    # counting per chunk. The tunnel's ~40 ms/transfer fixed cost makes the
+    # transfer count, not the byte count, the thing to minimize. flush_every
+    # bounds device memory held by in-flight chunks.
+    flush_every = 32
+    pending: List[Tuple[int, ReadSet, ChunkDispatch]] = []
+
+    def flush():
+        per_chunk = collect_outs([d for (_, _, d) in pending])
+        t2 = time.perf_counter()
+        for (start, chunk, disp), host_rows in zip(pending, per_chunk):
+            winners = finalize_chunk(index, align_cfg, disp, host_rows)
+            chunk_counts, chunk_audit = count_support(
+                panel, winners, chunk, genotype_cfg.d_over, collect_audit
+            )
+            for tag, pair in chunk_counts.items():
+                entry = counts.setdefault(tag, [0, 0])
+                entry[0] += pair[0]
+                entry[1] += pair[1]
+            for tag, pair in chunk_audit.items():
+                entry = audit.setdefault(tag, [[], []])
+                entry[0].extend(pair[0])
+                entry[1].extend(pair[1])
+            winners.read = winners.read + start  # rebase to global read ids
+            winner_parts.append(winners)
+            if timings is not None:
+                timings["n_winners"] += int(len(winners.read))
+        pending.clear()
+        if timings is not None:
+            timings["count_s"] += time.perf_counter() - t2
+
     for start in range(0, max(reads.n_reads, 1), chunk_reads):
         stop = min(start + chunk_reads, reads.n_reads)
         if start >= stop:
@@ -426,33 +519,20 @@ def align_and_count(
         )
         t1 = time.perf_counter()
         device_data = dev.upload(chunk.codes, panel, panel_cache)
-        winners = align_candidates(
-            chunk, panel, index, cands, align_cfg,
-            batch_size=batch_size, device_data=device_data,
+        disp = dispatch_chunk(
+            chunk, panel, index, cands, align_cfg, device_data,
+            batch_size=batch_size,
         )
         t2 = time.perf_counter()
-        chunk_counts, chunk_audit = count_support(
-            panel, winners, chunk, genotype_cfg.d_over, collect_audit
-        )
-        t3 = time.perf_counter()
-
-        for tag, pair in chunk_counts.items():
-            entry = counts.setdefault(tag, [0, 0])
-            entry[0] += pair[0]
-            entry[1] += pair[1]
-        for tag, pair in chunk_audit.items():
-            entry = audit.setdefault(tag, [[], []])
-            entry[0].extend(pair[0])
-            entry[1].extend(pair[1])
-        winners.read = winners.read + start  # rebase to global read ids
-        winner_parts.append(winners)
+        pending.append((start, chunk, disp))
+        if len(pending) >= flush_every:
+            flush()
 
         if timings is not None:
             timings["seed_s"] += t1 - t0
             timings["dp_s"] += t2 - t1
-            timings["count_s"] += t3 - t2
             timings["n_candidates"] += len(cands)
-            timings["n_winners"] += int(len(winners.read))
+    flush()
 
     if winner_parts:
         merged = Winners(

@@ -56,7 +56,10 @@ def seed_candidates(
     rlen = reads.lengths
     native = load_native()
     native_result = (
-        native.minimizers(reads.codes, reads.offsets, index.k, index.w)
+        native.minimizers(
+            reads.codes, reads.offsets, index.k, index.w,
+            bitmap=index.hash_bitmap(), bitmap_log2=index.BITMAP_LOG2,
+        )
         if native is not None
         else None
     )

@@ -225,10 +225,7 @@ def _kernel(
     out_ref[:, 5:8] = jnp.zeros((P_TILE, 3), jnp.int32)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("bucket", "band", "params", "interpret")
-)
-def band_dp_dma(
+def band_dp_dma_raw(
     reads_hbm: jnp.ndarray,  # int8 (2N + pad,): fwd ++ revcomp ++ sentinel pad
     panel_hbm: jnp.ndarray,  # int8, sentinel-padded both ends
     q_start: jnp.ndarray,  # (P,) int32 window start in reads_hbm
@@ -240,7 +237,11 @@ def band_dp_dma(
     band: int,
     params: DPParams = DPParams(),
     interpret: bool = False,
-) -> Dict[str, jnp.ndarray]:
+) -> jnp.ndarray:
+    """Raw kernel output: (P, 8) int32 with columns
+    [score, qs, ts, qe, te, 0, 0, 0] — callers batching many dispatches keep
+    this on device and transfer once (the TPU tunnel costs ~40 ms per
+    host-device round trip, so per-batch transfers dominate otherwise)."""
     P = q_start.shape[0]
     assert P % P_TILE == 0 and band % 128 == 0 and bucket % 128 == 0
     assert bucket < (1 << 15) and bucket + band < (1 << 16)
@@ -271,7 +272,7 @@ def band_dp_dma(
     kernel = functools.partial(
         _kernel, band=band, bucket=bucket, qw=qw, tw=tw, params=params
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((P, 8), jnp.int32),
@@ -284,6 +285,28 @@ def band_dp_dma(
         t_hi.astype(jnp.int32),
         reads_hbm,
         panel_hbm,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bucket", "band", "params", "interpret")
+)
+def band_dp_dma(
+    reads_hbm: jnp.ndarray,
+    panel_hbm: jnp.ndarray,
+    q_start: jnp.ndarray,
+    t_start: jnp.ndarray,
+    m: jnp.ndarray,
+    t_lo: jnp.ndarray,
+    t_hi: jnp.ndarray,
+    bucket: int,
+    band: int,
+    params: DPParams = DPParams(),
+    interpret: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    out = band_dp_dma_raw(
+        reads_hbm, panel_hbm, q_start, t_start, m, t_lo, t_hi,
+        bucket=bucket, band=band, params=params, interpret=interpret,
     )
     return {
         "score": out[:, 0],

@@ -28,6 +28,15 @@ class _NativeIO:
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
                 ctypes.c_int32, ctypes.c_int32,
             ]
+            if hasattr(lib, "svt_minimizers2"):
+                lib.svt_minimizers2.restype = ctypes.c_void_p
+                lib.svt_minimizers2.argtypes = [
+                    ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                    ctypes.c_int32, ctypes.c_int32,
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+                    ctypes.c_int32,
+                ]
             lib.svt_minimizers_count.restype = ctypes.c_int64
             lib.svt_minimizers_count.argtypes = [ctypes.c_void_p]
             lib.svt_minimizers_copy.restype = None
@@ -58,22 +67,52 @@ class _NativeIO:
         lib.svt_result_free.argtypes = [ctypes.c_void_p]
 
     def minimizers(
-        self, codes: np.ndarray, offsets: np.ndarray, k: int, w: int
+        self,
+        codes: np.ndarray,
+        offsets: np.ndarray,
+        k: int,
+        w: int,
+        bitmap: Optional[np.ndarray] = None,
+        bitmap_log2: int = 0,
+        n_threads: int = 0,
     ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
-        """Native minimizer extraction; returns (read_id, pos, hash, strand)."""
+        """Native minimizer extraction; returns (read_id, pos, hash, strand).
+
+        With ``bitmap`` (uint8 array of 2**bitmap_log2 bits, one bit set per
+        panel-index hash), minimizers that cannot hit the panel are dropped
+        inside the scan; the scan is thread-parallel over reads.
+        """
         lib = self._lib
         if not hasattr(lib, "svt_minimizers"):
             return None
         codes = np.ascontiguousarray(codes, dtype=np.int8)
         offsets = np.ascontiguousarray(offsets, dtype=np.int64)
-        handle = lib.svt_minimizers(
-            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
-            ctypes.c_int64(len(codes)),
-            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            ctypes.c_int64(len(offsets) - 1),
-            ctypes.c_int32(k),
-            ctypes.c_int32(w),
-        )
+        if hasattr(lib, "svt_minimizers2"):
+            bm = (
+                bitmap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+                if bitmap is not None
+                else None
+            )
+            handle = lib.svt_minimizers2(
+                codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                ctypes.c_int64(len(codes)),
+                offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.c_int64(len(offsets) - 1),
+                ctypes.c_int32(k),
+                ctypes.c_int32(w),
+                bm,
+                ctypes.c_int32(bitmap_log2),
+                ctypes.c_int32(n_threads),
+            )
+        else:
+            handle = lib.svt_minimizers(
+                codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                ctypes.c_int64(len(codes)),
+                offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.c_int64(len(offsets) - 1),
+                ctypes.c_int32(k),
+                ctypes.c_int32(w),
+            )
         if not handle:
             return None
         try:
