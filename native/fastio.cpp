@@ -355,6 +355,215 @@ void* svt_minimizers2(const int8_t* codes, int64_t n_bases,
   return result;
 }
 
+// ---------------------------------------------------------------------------
+// Full seeding: minimizers -> index lookup -> diagonal voting, one call.
+//
+// Replicates svjedi_tpu/align/seed.py:seed_candidates exactly: anchors are
+// grouped by (read, path, strand), binned by diagonal, each bin's support
+// is its count plus the counts of adjacent bins of the same group, the
+// first maximal-support bin wins, and d0 is the middle element (in anchor
+// order) of the winning bin itself. Threaded over read ranges.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct SeedResult {
+  std::vector<int32_t> read;
+  std::vector<int32_t> path;
+  std::vector<int8_t> strand;
+  std::vector<int32_t> d0;
+  std::vector<int32_t> support;
+};
+
+struct SeedIndex {
+  const uint32_t* uniq_hash;
+  int64_t n_uniq;
+  const int64_t* hit_start;
+  const int32_t* hit_path;
+  const int32_t* hit_pos;
+  const int8_t* hit_strand;
+};
+
+void seed_reads(const int8_t* codes, const int64_t* offsets, int64_t r0,
+                int64_t r1, int32_t k, int32_t w, const uint8_t* bitmap,
+                uint32_t bitmap_mask, const SeedIndex& idx, int32_t diag_bin,
+                int32_t min_anchors, SeedResult* out) {
+  struct Anchor {
+    int64_t key;   // (path << 1 | strand) — group within the read
+    int64_t bin;
+    int32_t diag;
+    int32_t ord;   // original anchor order (stable tie-break + median)
+  };
+  std::vector<Anchor> anchors;
+  MinimizerResult mins;
+  const int64_t two30 = 1LL << 30;
+
+  for (int64_t r = r0; r < r1; ++r) {
+    mins.read_id.clear();
+    mins.pos.clear();
+    mins.hash.clear();
+    mins.strand.clear();
+    scan_minimizers(codes, offsets, r, r + 1, k, w, bitmap, bitmap_mask,
+                    &mins);
+    anchors.clear();
+    const int64_t rlen = offsets[r + 1] - offsets[r];
+    for (size_t i = 0; i < mins.hash.size(); ++i) {
+      const uint32_t h = mins.hash[i];
+      const uint32_t* lo =
+          std::lower_bound(idx.uniq_hash, idx.uniq_hash + idx.n_uniq, h);
+      if (lo == idx.uniq_hash + idx.n_uniq || *lo != h) continue;
+      const int64_t u = lo - idx.uniq_hash;
+      for (int64_t j = idx.hit_start[u]; j < idx.hit_start[u + 1]; ++j) {
+        const int8_t strand = (int8_t)(mins.strand[i] ^ idx.hit_strand[j]);
+        const int64_t rpos_eff =
+            strand == 0 ? (int64_t)mins.pos[i]
+                        : rlen - k - (int64_t)mins.pos[i];
+        const int32_t diag = (int32_t)(idx.hit_pos[j] - rpos_eff);
+        anchors.push_back({((int64_t)idx.hit_path[j] << 1) | strand,
+                           (diag + two30) / diag_bin, diag,
+                           (int32_t)anchors.size()});
+      }
+    }
+    if (anchors.empty()) continue;
+    std::sort(anchors.begin(), anchors.end(),
+              [](const Anchor& a, const Anchor& b) {
+                if (a.key != b.key) return a.key < b.key;
+                if (a.bin != b.bin) return a.bin < b.bin;
+                return a.ord < b.ord;
+              });
+    //
+
+    // Segment walk: one segment per (key, bin).
+    size_t n = anchors.size();
+    size_t s = 0;
+    while (s < n) {
+      const int64_t key = anchors[s].key;
+      // Collect this group's segments.
+      size_t g_end = s;
+      while (g_end < n && anchors[g_end].key == key) ++g_end;
+      // Find modal segment: support = count + adjacent-bin counts.
+      int64_t best_support = -1;
+      size_t best_s = s, best_e = s;
+      size_t a = s;
+      while (a < g_end) {
+        size_t e = a;
+        while (e < g_end && anchors[e].bin == anchors[a].bin) ++e;
+        int64_t support = (int64_t)(e - a);
+        // left neighbor segment
+        if (a > s) {
+          size_t pl = a;  // find start of previous segment
+          size_t pstart = a;
+          while (pstart > s && anchors[pstart - 1].bin == anchors[a - 1].bin)
+            --pstart;
+          if (anchors[a - 1].bin == anchors[a].bin - 1)
+            support += (int64_t)(pl - pstart);
+        }
+        if (e < g_end && anchors[e].bin == anchors[a].bin + 1) {
+          size_t ne = e;
+          while (ne < g_end && anchors[ne].bin == anchors[e].bin) ++ne;
+          support += (int64_t)(ne - e);
+        }
+        if (support > best_support) {
+          best_support = support;
+          best_s = a;
+          best_e = e;
+        }
+        a = e;
+      }
+      if (best_support >= min_anchors) {
+        const Anchor& med = anchors[best_s + (best_e - 1 - best_s) / 2];
+        out->read.push_back((int32_t)r);
+        out->path.push_back((int32_t)(key >> 1));
+        out->strand.push_back((int8_t)(key & 1));
+        out->d0.push_back(med.diag);
+        out->support.push_back((int32_t)best_support);
+      }
+      s = g_end;
+    }
+  }
+}
+
+}  // namespace
+
+void* svt_seed(const int8_t* codes, int64_t n_bases, const int64_t* offsets,
+               int64_t n_reads, int32_t k, int32_t w, const uint8_t* bitmap,
+               int32_t bitmap_log2, const uint32_t* uniq_hash, int64_t n_uniq,
+               const int64_t* hit_start, const int32_t* hit_path,
+               const int32_t* hit_pos, const int8_t* hit_strand,
+               int32_t diag_bin, int32_t min_anchors, int32_t n_threads) {
+  (void)n_bases;
+  auto* result = new SeedResult();
+  if (k <= 0 || k > 15 || w <= 0 || n_reads <= 0) return result;
+  const uint32_t bitmap_mask =
+      bitmap ? ((bitmap_log2 >= 32) ? 0xFFFFFFFFu
+                                    : ((1u << bitmap_log2) - 1))
+             : 0;
+  SeedIndex idx{uniq_hash, n_uniq, hit_start, hit_path, hit_pos, hit_strand};
+  int T = n_threads > 0 ? n_threads
+                        : (int)std::thread::hardware_concurrency();
+  if (T < 1) T = 1;
+  if ((int64_t)T > n_reads) T = (int)n_reads;
+  if (T == 1) {
+    seed_reads(codes, offsets, 0, n_reads, k, w, bitmap, bitmap_mask, idx,
+               diag_bin, min_anchors, result);
+    return result;
+  }
+  const int64_t total = offsets[n_reads] - offsets[0];
+  std::vector<int64_t> bounds(T + 1, n_reads);
+  bounds[0] = 0;
+  int64_t r = 0;
+  for (int t = 1; t < T; ++t) {
+    const int64_t target = offsets[0] + total * t / T;
+    while (r < n_reads && offsets[r] < target) ++r;
+    bounds[t] = r;
+  }
+  std::vector<SeedResult> parts(T);
+  std::vector<std::thread> threads;
+  threads.reserve(T);
+  for (int t = 0; t < T; ++t) {
+    threads.emplace_back([&, t]() {
+      seed_reads(codes, offsets, bounds[t], bounds[t + 1], k, w, bitmap,
+                 bitmap_mask, idx, diag_bin, min_anchors, &parts[t]);
+    });
+  }
+  for (auto& th : threads) th.join();
+  size_t n = 0;
+  for (const auto& p : parts) n += p.read.size();
+  result->read.reserve(n);
+  result->path.reserve(n);
+  result->strand.reserve(n);
+  result->d0.reserve(n);
+  result->support.reserve(n);
+  for (const auto& p : parts) {
+    result->read.insert(result->read.end(), p.read.begin(), p.read.end());
+    result->path.insert(result->path.end(), p.path.begin(), p.path.end());
+    result->strand.insert(result->strand.end(), p.strand.begin(),
+                          p.strand.end());
+    result->d0.insert(result->d0.end(), p.d0.begin(), p.d0.end());
+    result->support.insert(result->support.end(), p.support.begin(),
+                           p.support.end());
+  }
+  return result;
+}
+
+int64_t svt_seed_count(void* handle) {
+  return (int64_t) static_cast<SeedResult*>(handle)->read.size();
+}
+
+void svt_seed_copy(void* handle, int32_t* read, int32_t* path, int8_t* strand,
+                   int32_t* d0, int32_t* support) {
+  auto* r = static_cast<SeedResult*>(handle);
+  const size_t n = r->read.size();
+  if (n == 0) return;
+  memcpy(read, r->read.data(), n * sizeof(int32_t));
+  memcpy(path, r->path.data(), n * sizeof(int32_t));
+  memcpy(strand, r->strand.data(), n * sizeof(int8_t));
+  memcpy(d0, r->d0.data(), n * sizeof(int32_t));
+  memcpy(support, r->support.data(), n * sizeof(int32_t));
+}
+
+void svt_seed_free(void* handle) { delete static_cast<SeedResult*>(handle); }
+
 int64_t svt_minimizers_count(void* handle) {
   return (int64_t) static_cast<MinimizerResult*>(handle)->hash.size();
 }

@@ -184,12 +184,36 @@ class ChunkDispatch:
     array size, so results from many chunks are concatenated on device and
     fetched with ONE transfer (:func:`collect_outs`) instead of five small
     reads per batch.
+
+    The v3 engine is two-pass (kernels/band_dp_v3.py): the forward pass
+    returns (score, qe, te) for every candidate; start coordinates come
+    from a reverse pass dispatched only for the winning candidates
+    (:func:`dispatch_rev`), so the per-candidate window metadata is kept
+    here between the passes.
     """
 
     cands: Candidates
     rw_start: np.ndarray
-    #: per batch: (candidate indices, device (Ppad, 5) int32 results)
-    batches: List[Tuple[np.ndarray, object]] = field(default_factory=list)
+    #: per batch: (candidate indices, device results, kind, bucket) where
+    #: kind is "full" ((Ppad, 5) [score,qs,ts,qe,te]) or "v3"
+    #: ((Ppad, 3) [score,qe,te], needs the reverse pass for qs/ts)
+    batches: List[Tuple[np.ndarray, object, str, int]] = field(
+        default_factory=list
+    )
+    #: per-candidate device-layout metadata (set by dispatch_chunk)
+    q_start: Optional[np.ndarray] = None
+    t_start: Optional[np.ndarray] = None
+    t_lo: Optional[np.ndarray] = None
+    t_hi: Optional[np.ndarray] = None
+    bucket_of_cand: Optional[np.ndarray] = None
+    device_data: Optional[object] = None
+    #: window-coordinate ends per candidate (set by finalize_chunk)
+    qe_win: Optional[np.ndarray] = None
+    te_win: Optional[np.ndarray] = None
+    #: reverse-pass batches: (winner positions, candidate indices, out)
+    rev_batches: List[Tuple[np.ndarray, np.ndarray, object]] = field(
+        default_factory=list
+    )
 
 
 def dispatch_chunk(
@@ -218,7 +242,7 @@ def dispatch_chunk(
         gap_open=cfg.gap_open,
         gap_extend=cfg.gap_extend,
     )
-    engine = "gather" if jax.default_backend() == "cpu" else "dma"
+    engine = "gather" if jax.default_backend() == "cpu" else "v3"
 
     disp = ChunkDispatch(
         cands=cands, rw_start=np.zeros(len(cands), dtype=np.int64)
@@ -251,6 +275,14 @@ def dispatch_chunk(
     t_hi = (path_start + device_data.panel_len[cands.path]).astype(np.int32)
     m32 = m.astype(np.int32)
 
+    disp.q_start = q_start
+    disp.t_start = t_start
+    disp.t_lo = t_lo
+    disp.t_hi = t_hi
+    disp.device_data = device_data
+    disp.bucket_of_cand = np.zeros(len(cands), dtype=np.int64)
+    disp.bucket_of_cand[order] = bucket_of
+
     for bucket in sorted(set(bucket_of.tolist())):
         sel_all = order[bucket_of == bucket]
         for lo in range(0, len(sel_all), batch_size):
@@ -263,36 +295,59 @@ def dispatch_chunk(
             meta[2, :P] = t_start[sel]
             meta[3, :P] = t_lo[sel]
             meta[4, :P] = t_hi[sel]
-            out = dev.window_score_packed(
-                device_data.reads2,
-                device_data.panel_padded,
-                jnp.asarray(meta),
-                bucket=int(bucket),
-                band=B,
-                params=params,
-                engine=engine,
-            )
-            disp.batches.append((sel, out))
+            # v3's transposed VMEM blocks outgrow scoped VMEM past ~8K
+            # windows; the rare huge buckets take the v2 DMA kernel.
+            eng = "dma" if engine == "v3" and bucket > 8192 else engine
+            if eng == "v3":
+                out = dev.window_score_v3_fwd(
+                    device_data.reads2,
+                    device_data.panel_padded,
+                    jnp.asarray(meta),
+                    bucket=int(bucket),
+                    band=B,
+                    params=params,
+                )
+            else:
+                out = dev.window_score_packed(
+                    device_data.reads2,
+                    device_data.panel_padded,
+                    jnp.asarray(meta),
+                    bucket=int(bucket),
+                    band=B,
+                    params=params,
+                    engine=eng,
+                )
+            disp.batches.append((sel, out, eng if eng == "v3" else "full",
+                                 int(bucket)))
     return disp
+
+
+def _bulk_fetch(outs: Sequence[object]) -> List[np.ndarray]:
+    """Fetch many device arrays with ONE device→host transfer."""
+    import jax.numpy as jnp
+
+    if not outs:
+        return []
+    flats = [o.reshape(-1) for o in outs]
+    host = np.asarray(flats[0] if len(flats) == 1 else jnp.concatenate(flats))
+    res: List[np.ndarray] = []
+    off = 0
+    for o in outs:
+        size = int(np.prod(o.shape))
+        res.append(host[off : off + size].reshape(o.shape))
+        off += size
+    return res
 
 
 def collect_outs(dispatches: Sequence[ChunkDispatch]) -> List[List[np.ndarray]]:
     """Fetch every pending batch result with a single device→host transfer."""
-    import jax.numpy as jnp
-
-    outs = [out for d in dispatches for (_, out) in d.batches]
-    if not outs:
-        return [[] for _ in dispatches]
-    host = np.asarray(outs[0] if len(outs) == 1 else jnp.concatenate(outs, 0))
+    hosts = _bulk_fetch(
+        [out for d in dispatches for (_, out, _, _) in d.batches]
+    )
     per: List[List[np.ndarray]] = []
-    off = 0
+    it = iter(hosts)
     for d in dispatches:
-        rows: List[np.ndarray] = []
-        for _, out in d.batches:
-            n = out.shape[0]
-            rows.append(host[off : off + n])
-            off += n
-        per.append(rows)
+        per.append([next(it) for _ in d.batches])
     return per
 
 
@@ -301,39 +356,51 @@ def finalize_chunk(
     cfg: AlignConfig,
     disp: ChunkDispatch,
     host_rows: Sequence[np.ndarray],
-) -> Winners:
-    """Winner-per-(read, cluster) reduction from fetched batch results."""
+) -> Tuple[Winners, np.ndarray]:
+    """Winner-per-(read, cluster) reduction from fetched batch results.
+
+    Returns (winners, win): ``win`` maps winner rows to candidate indices
+    (needed by the v3 reverse pass). For candidates scored by the v3
+    forward pass, qs/ts are left as -1 until :func:`patch_rev`.
+    """
     cands = disp.cands
     B = cfg.band
     n = len(cands)
+    empty = np.zeros(0, np.int64)
     if n == 0:
-        empty = np.zeros(0, np.int64)
-        return Winners(*([empty] * 9))
+        return Winners(*([empty] * 9)), empty
     out_score = np.zeros(n, dtype=np.int64)
-    out_qs = np.zeros(n, dtype=np.int64)
+    out_qs = np.full(n, -1, dtype=np.int64)
     out_qe = np.full(n, -1, dtype=np.int64)
-    out_ts = np.zeros(n, dtype=np.int64)
+    out_ts = np.full(n, -1, dtype=np.int64)
     out_te = np.full(n, -1, dtype=np.int64)
+    disp.qe_win = np.full(n, -1, dtype=np.int64)
+    disp.te_win = np.full(n, -1, dtype=np.int64)
 
-    for (sel, _), host in zip(disp.batches, host_rows):
+    for (sel, _, kind, _), host in zip(disp.batches, host_rows):
         P = len(sel)
         res = host[:P].astype(np.int64)
-        out_score[sel] = res[:, 0]
-        out_qs[sel] = res[:, 1] + disp.rw_start[sel]
-        out_qe[sel] = res[:, 3] + disp.rw_start[sel]
         t_starts = (
             cands.d0[sel].astype(np.int64) + disp.rw_start[sel] - B // 2
         )
-        out_ts[sel] = res[:, 2] + t_starts
-        out_te[sel] = res[:, 4] + t_starts
+        out_score[sel] = res[:, 0]
+        if kind == "v3":
+            disp.qe_win[sel] = res[:, 1]
+            disp.te_win[sel] = res[:, 2]
+            out_qe[sel] = res[:, 1] + disp.rw_start[sel]
+            out_te[sel] = res[:, 2] + t_starts
+        else:
+            out_qs[sel] = res[:, 1] + disp.rw_start[sel]
+            out_qe[sel] = res[:, 3] + disp.rw_start[sel]
+            out_ts[sel] = res[:, 2] + t_starts
+            out_te[sel] = res[:, 4] + t_starts
 
     # ---- winner per (read, cluster) ----
     cluster = index.path_cluster[cands.path].astype(np.int64)
     ok = out_score >= cfg.min_score
     idx = np.flatnonzero(ok)
     if len(idx) == 0:
-        empty = np.zeros(0, np.int64)
-        return Winners(*([empty] * 9))
+        return Winners(*([empty] * 9)), empty
     key = cands.read[idx].astype(np.int64) * (cluster.max() + 1) + cluster[idx]
     order2 = np.lexsort((-out_score[idx], key))
     idx = idx[order2]
@@ -352,7 +419,102 @@ def finalize_chunk(
         qe=out_qe[win],
         ts=out_ts[win],
         te=out_te[win],
+    ), win
+
+
+def dispatch_rev(
+    cfg: AlignConfig,
+    disp: ChunkDispatch,
+    winners: Winners,
+    win: np.ndarray,
+) -> None:
+    """Enqueue the v3 reverse pass for winning candidates missing qs/ts.
+
+    The windows are end-clamped (m' = qe+1, t_hi' = t_start + te + 1) so
+    the reverse-pass best end is the start of an optimal alignment ending
+    at most at (qe, te).
+    """
+    from . import device as dev
+
+    import jax.numpy as jnp
+
+    if len(win) == 0 or disp.q_start is None:
+        return
+    params = DPParams(
+        match=cfg.match,
+        mismatch=cfg.mismatch,
+        gap_open=cfg.gap_open,
+        gap_extend=cfg.gap_extend,
     )
+    need = np.flatnonzero(winners.qs == -1)
+    if len(need) == 0:
+        return
+    ci = win[need]
+    buckets = disp.bucket_of_cand[ci]
+    for bucket in sorted(set(buckets.tolist())):
+        sub = need[buckets == bucket]
+        csub = win[sub]
+        P = len(sub)
+        Ppad = _pad_class(P)
+        meta = np.zeros((5, Ppad), dtype=np.int32)
+        meta[0, :P] = disp.q_start[csub]
+        meta[1, :P] = disp.qe_win[csub] + 1
+        meta[2, :P] = disp.t_start[csub]
+        meta[3, :P] = disp.t_lo[csub]
+        meta[4, :P] = np.minimum(
+            disp.t_hi[csub],
+            disp.t_start[csub].astype(np.int64) + disp.te_win[csub] + 1,
+        )
+        out = dev.window_score_v3_rev(
+            disp.device_data.reads2,
+            disp.device_data.panel_padded,
+            jnp.asarray(meta),
+            bucket=int(bucket),
+            band=cfg.band,
+            params=params,
+        )
+        disp.rev_batches.append((sub, csub, out))
+
+
+def patch_rev(
+    cfg: AlignConfig,
+    disp: ChunkDispatch,
+    winners: Winners,
+    host_rows: Sequence[np.ndarray],
+) -> None:
+    """Fill winners' qs/ts from fetched reverse-pass results."""
+    B = cfg.band
+    for (sub, csub, _), host in zip(disp.rev_batches, host_rows):
+        P = len(sub)
+        res = host[:P].astype(np.int64)
+        t_starts = (
+            disp.cands.d0[csub].astype(np.int64)
+            + disp.rw_start[csub]
+            - B // 2
+        )
+        winners.qs[sub] = res[:, 1] + disp.rw_start[csub]
+        winners.ts[sub] = res[:, 2] + t_starts
+        bad = res[:, 0] != winners.score[sub]
+        if bad.any():  # pragma: no cover - invariant check
+            import sys
+
+            print(
+                f"[align] WARNING: {int(bad.sum())} reverse-pass scores "
+                "disagree with forward pass",
+                file=sys.stderr,
+            )
+
+
+def collect_rev(dispatches: Sequence[ChunkDispatch]) -> List[List[np.ndarray]]:
+    """Bulk-fetch all reverse-pass batches."""
+    hosts = _bulk_fetch(
+        [out for d in dispatches for (_, _, out) in d.rev_batches]
+    )
+    per: List[List[np.ndarray]] = []
+    it = iter(hosts)
+    for d in dispatches:
+        per.append([next(it) for _ in d.rev_batches])
+    return per
 
 
 def align_candidates(
@@ -373,7 +535,11 @@ def align_candidates(
         reads, panel, index, cands, cfg, device_data, batch_size=batch_size
     )
     (host_rows,) = collect_outs([disp])
-    return finalize_chunk(index, cfg, disp, host_rows)
+    winners, win = finalize_chunk(index, cfg, disp, host_rows)
+    dispatch_rev(cfg, disp, winners, win)
+    (rev_rows,) = collect_rev([disp])
+    patch_rev(cfg, disp, winners, rev_rows)
+    return winners
 
 
 def count_support(
@@ -485,9 +651,19 @@ def align_and_count(
 
     def flush():
         per_chunk = collect_outs([d for (_, _, d) in pending])
-        t2 = time.perf_counter()
+        # Pass 2: winner starts via the v3 reverse pass (one more bulk
+        # dispatch round + one bulk fetch for all chunks).
+        finalized = []
         for (start, chunk, disp), host_rows in zip(pending, per_chunk):
-            winners = finalize_chunk(index, align_cfg, disp, host_rows)
+            winners, win = finalize_chunk(index, align_cfg, disp, host_rows)
+            dispatch_rev(align_cfg, disp, winners, win)
+            finalized.append(winners)
+        rev_rows_all = collect_rev([d for (_, _, d) in pending])
+        t2 = time.perf_counter()
+        for (start, chunk, disp), winners, rev_rows in zip(
+            pending, finalized, rev_rows_all
+        ):
+            patch_rev(align_cfg, disp, winners, rev_rows)
             chunk_counts, chunk_audit = count_support(
                 panel, winners, chunk, genotype_cfg.d_over, collect_audit
             )

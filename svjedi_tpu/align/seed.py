@@ -55,6 +55,21 @@ def seed_candidates(
     """Compute alignment candidates for every read against the panel."""
     rlen = reads.lengths
     native = load_native()
+    if native is not None and hasattr(native._lib, "svt_seed"):
+        res = native.seed(
+            reads.codes, reads.offsets, index.k, index.w,
+            bitmap=index.hash_bitmap(), bitmap_log2=index.BITMAP_LOG2,
+            uniq_hash=index.uniq_hash, hit_start=index.hit_start,
+            hit_path=index.hit_path, hit_pos=index.hit_pos,
+            hit_strand=index.hit_strand,
+            diag_bin=diag_bin, min_anchors=min_anchors,
+        )
+        if res is not None:
+            read, path, strand, d0, support = res
+            return Candidates(
+                read=read, path=path, strand=strand, d0=d0,
+                n_anchors=support,
+            )
     native_result = (
         native.minimizers(
             reads.codes, reads.offsets, index.k, index.w,

@@ -1,0 +1,281 @@
+"""Pallas TPU kernel v3: flat-band score-only DP, 128 problems per step.
+
+Why v3: on this hardware cross-lane shifts cost ~70-100 cycles standalone
+but amortize to ~vreg-copy speed on wide arrays, ALU ops are nearly free,
+and — the decisive measurement — kernel cost scales sharply with the number
+of live loop-carried state arrays (VMEM spill pressure): a 9-array kernel
+with full start-coordinate tracking runs ~20x slower than the same loop
+carrying 4 arrays. v2 (band_dp_dma) carries 9 arrays for 8 problems/step at
+~0.8 Gcell/s; v3 carries 5 for 128 problems/step and reaches >10 Gcell/s.
+
+The price: the forward pass reports only (score, qe, te) — the alignment
+END. Start coordinates (qs, ts) come from a SECOND, equally cheap pass over
+the winning candidates only: flip the window matrices upside down (a dense
+XLA ``jnp.flip`` — every window becomes suffix-aligned, leading sentinel
+rows are harmless to local alignment), clamp the window to [0, qe] x
+[0, te] via the ordinary masks, and rerun the same kernel; its end maps
+back as qs = bucket-1-qe'', ts = (bucket+band-1)-1-te''. This is the
+classic bidirectional Smith-Waterman trick expressed as two identical
+TPU dispatches. align/pipeline.py orchestrates the two passes; ties
+between equal-scoring alignments may pick a different optimal start than
+the one-pass v2 kernel (both are valid optima).
+
+Layout: one grid step scores 128 problems. A DP state array is (8, X)
+int32 with X = 16*band lanes; flat cell c = sublane*X + lane holds band
+offset k = c // 128 of problem h = c % 128. Band shifts are lane rolls by
+128*s with a sublane carry (static); shifts by multiples of 16 bands are
+pure (cheap) sublane rolls, which covers the deep gap-scan levels. Per-row
+values arrive from TRANSPOSED window matrices (``qT[i, p]``, prepared by a
+packed-word XLA gather, align/device.py) via sublane roll + broadcast +
+lane tiling — no lane<->sublane reshapes, which Mosaic cannot lower. The
+target band is a shifting state (shift + lane-(B-1) insert per row).
+
+Scores equal band_dp_batch / band_dp_dma exactly; composed spans are
+optimal-alignment spans (tests/test_band_dp_v3.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..align.extend import DPParams, NEG
+
+#: Problems per grid step (the lane modulus of the flat layout).
+P_STEP = 128
+
+
+def _kernel(qT_ref, tT_ref, score_ref, qe_ref, te_ref, *, band, bucket,
+            params, interpret):
+    B = band
+    X = 16 * B  # lanes per state array; 8 sublanes * X = B * 128 cells
+    oe = params.open_extend
+    ext = params.gap_extend
+
+    sub_i = jax.lax.broadcasted_iota(jnp.int32, (8, X), 0)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (8, X), 1)
+    k_idx = sub_i * 16 + lane_i // 128  # band offset of each flat cell
+
+    def spread(row32):
+        """(*, >=128) per-problem values -> (8, X) on every cell."""
+        if interpret:
+            return jnp.tile(row32[:1, :128], (8, X // 128))
+        return pltpu.repeat(
+            jnp.broadcast_to(row32[:1, :128], (8, 128)), X // 128, 1
+        )
+
+    def extract(tile32, r):
+        """Row r of an (8, 128) tile, spread to (8, X)."""
+        rolled = tile32 if r == 0 else pltpu.roll(tile32, 8 - r, axis=0)
+        return spread(rolled)
+
+    def band_shift_down(a, s, fill):
+        """out[k] = a[k - s] (toward higher k), fill at k < s."""
+        S = 128 * s
+        sl, ss = S % X, S // X
+        b = pltpu.roll(a, sl, axis=1) if sl else a
+        c = pltpu.roll(b, ss % 8, axis=0) if ss % 8 else b
+        if sl:
+            c2 = pltpu.roll(b, (ss + 1) % 8, axis=0)
+            c = jnp.where(lane_i >= sl, c, c2)
+        return jnp.where(k_idx < s, fill, c)
+
+    def band_shift_up1(a, fill):
+        """out[k] = a[k + 1], fill at k == B - 1."""
+        b = pltpu.roll(a, X - 128, axis=1)
+        c = jnp.where(lane_i < X - 128, b, pltpu.roll(b, 7, axis=0))
+        return jnp.where(k_idx == B - 1, fill, c)
+
+    # ---- prefill the shifting target band: t_cur[k] = t[k] ----
+    def prefill(j8, t_cur):
+        ttile = tT_ref[pl.ds(j8 * 8, 8), :].astype(jnp.int32)
+        for r in range(8):
+            tv = extract(ttile, r)
+            t_cur = jnp.where(k_idx == B - 1, tv, band_shift_up1(t_cur, 4))
+        return t_cur
+
+    t_cur = jax.lax.fori_loop(
+        0, B // 8, prefill, jnp.full((8, X), 4, jnp.int32)
+    )
+
+    init = (
+        t_cur,
+        jnp.zeros((8, X), jnp.int32),  # H
+        jnp.full((8, X), NEG, jnp.int32),  # V
+        jnp.zeros((8, X), jnp.int32),  # BEST
+        jnp.full((8, X), -1, jnp.int32),  # BQE (row of each cell's best)
+    )
+
+    def group_fn(i8, carry):
+        (t_cur, H, V, BEST, BQE) = carry
+        qtile = qT_ref[pl.ds(i8 * 8, 8), :].astype(jnp.int32)
+        ttile = tT_ref[pl.ds(i8 * 8 + B, 8), :].astype(jnp.int32)
+        for r in range(8):
+            i = i8 * 8 + r
+            qi = extract(qtile, r)
+            sub = jnp.where(
+                (qi == t_cur) & (qi < 4), params.match, params.mismatch
+            )
+
+            h_up = band_shift_up1(H, NEG)
+            v_up = band_shift_up1(V, NEG)
+            v_new = jnp.maximum(h_up + oe, v_up + ext)
+            htmp = jnp.maximum(jnp.maximum(H + sub, v_new), 0)
+
+            F = band_shift_down(htmp, 1, NEG) + oe
+            s = 1
+            while s < B:
+                F = jnp.maximum(F, band_shift_down(F, s, NEG) + ext * s)
+                s <<= 1
+            h_new = jnp.maximum(htmp, F)
+
+            improved = h_new > BEST
+            BEST = jnp.where(improved, h_new, BEST)
+            BQE = jnp.where(improved, i, BQE)
+            H, V = h_new, v_new
+
+            tv = extract(ttile, r)
+            t_cur = jnp.where(k_idx == B - 1, tv, band_shift_up1(t_cur, 4))
+        return (t_cur, H, V, BEST, BQE)
+
+    (_, _, _, BEST, BQE) = jax.lax.fori_loop(
+        0, bucket // 8, group_fn, init
+    )
+
+    # ---- per-problem reduction over the band (sublanes + lane chunks) ----
+    def fold(m, op):
+        s = X // 2
+        while s >= 128:
+            m = op(m, pltpu.roll(m, X - s, axis=1))
+            s //= 2
+        return m  # lanes [0, 128) hold the reduction per problem
+
+    best = fold(jnp.max(BEST, axis=0, keepdims=True), jnp.maximum)
+    best_b = spread(best)
+    big = jnp.int32(1 << 30)
+    lane_min = fold(
+        jnp.min(
+            jnp.where(BEST == best_b, k_idx, big), axis=0, keepdims=True
+        ),
+        jnp.minimum,
+    )
+    pick = (k_idx == spread(lane_min)) & (BEST == best_b)
+    qe = fold(
+        jnp.sum(jnp.where(pick, BQE, 0), axis=0, keepdims=True), jnp.add
+    )
+
+    def emit(ref, row):
+        ref[:, :] = jnp.broadcast_to(row[:1, :128], (8, 128))
+
+    emit(score_ref, best)
+    emit(qe_ref, qe)
+    # te = qe + k of the winning cell (k is constant along a cell's
+    # diagonal history, so the end's band offset IS the picked lane).
+    emit(te_ref, qe + jnp.where(lane_min == big, 0, lane_min))
+
+
+def band_dp_v3_fwd(
+    qT: jnp.ndarray,  # (bucket, P) int8, sentinel 4 beyond each window
+    tT: jnp.ndarray,  # (bucket + band, P) int8, sentinel 4 outside path
+    bucket: int,
+    band: int,
+    params: DPParams = DPParams(),
+    interpret: bool = False,
+):
+    """Forward pass: per problem (score, qe, te) — ends only.
+
+    Returns (P, 3) int32. Start coordinates come from
+    :func:`band_dp_v3_rev` on the (much smaller) winner set.
+    """
+    P = qT.shape[1]
+    assert P % P_STEP == 0 and band % 128 == 0 and bucket % 8 == 0
+    assert bucket < (1 << 15) and bucket + band < (1 << 16)
+    assert qT.shape == (bucket, P) and tT.shape == (bucket + band, P)
+    kernel = functools.partial(
+        _kernel, band=band, bucket=bucket, params=params, interpret=interpret
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(P // P_STEP,),
+        in_specs=[
+            pl.BlockSpec((bucket, P_STEP), lambda n: (0, n)),
+            pl.BlockSpec((bucket + band, P_STEP), lambda n: (0, n)),
+        ],
+        out_specs=[
+            pl.BlockSpec((8, P_STEP), lambda n: (0, n)) for _ in range(3)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((8, P), jnp.int32) for _ in range(3)
+        ],
+        interpret=interpret,
+    )(qT, tT)
+    score, qe, te = (o[0] for o in outs)
+    return jnp.stack([score, qe, te], axis=1)
+
+
+def band_dp_v3_rev(
+    qT: jnp.ndarray,
+    tT: jnp.ndarray,
+    bucket: int,
+    band: int,
+    params: DPParams = DPParams(),
+    interpret: bool = False,
+):
+    """Reverse pass: per problem (score, qs, ts) — starts of an optimal
+    alignment inside the (already end-clamped) windows.
+
+    The caller must have masked qT beyond qe (m' = qe + 1) and tT beyond te
+    (t_hi' = t_start + te + 1). Flipping both matrices makes every window
+    suffix-aligned; leading sentinel rows cannot score, so the flipped
+    problem's best END is the original problem's best START.
+    """
+    TW = bucket + band
+    qT_r = jnp.flip(qT, axis=0)
+    # One extra row of flip-shift keeps the band offset k'' = B-1-k inside
+    # [0, band); the wrapped row is never read (i''+k'' <= TW-2).
+    tT_r = jnp.roll(jnp.flip(tT, axis=0), -1, axis=0)
+    out = band_dp_v3_fwd(
+        qT_r, tT_r, bucket, band, params, interpret=interpret
+    )
+    score = out[:, 0]
+    qs = (bucket - 1) - out[:, 1]
+    ts = (TW - 2) - out[:, 2]
+    return jnp.stack([score, qs, ts], axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bucket", "band", "params", "interpret")
+)
+def band_dp_v3(
+    qT: jnp.ndarray,
+    tT: jnp.ndarray,
+    bucket: int,
+    band: int,
+    params: DPParams = DPParams(),
+    interpret: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Two-pass convenience wrapper returning the band_dp_batch contract.
+
+    Production code runs the passes separately (the reverse pass only on
+    winners); this wrapper exists for tests and parity checks.
+    """
+    fwd = band_dp_v3_fwd(qT, tT, bucket, band, params, interpret=interpret)
+    score, qe, te = fwd[:, 0], fwd[:, 1], fwd[:, 2]
+    rows = jnp.arange(bucket, dtype=jnp.int32)[:, None]
+    qT2 = jnp.where(rows <= qe[None, :], qT, jnp.int8(4))
+    trows = jnp.arange(bucket + band, dtype=jnp.int32)[:, None]
+    tT2 = jnp.where(trows <= te[None, :], tT, jnp.int8(4))
+    rev = band_dp_v3_rev(qT2, tT2, bucket, band, params, interpret=interpret)
+    return {
+        "score": score,
+        "qs": rev[:, 1],
+        "ts": rev[:, 2],
+        "qe": qe,
+        "te": te,
+        "score_rev": rev[:, 0],
+    }

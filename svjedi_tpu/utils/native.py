@@ -28,6 +28,33 @@ class _NativeIO:
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
                 ctypes.c_int32, ctypes.c_int32,
             ]
+            if hasattr(lib, "svt_seed"):
+                lib.svt_seed.restype = ctypes.c_void_p
+                lib.svt_seed.argtypes = [
+                    ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                    ctypes.c_int32, ctypes.c_int32,
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+                    ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int8),
+                    ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                ]
+                lib.svt_seed_count.restype = ctypes.c_int64
+                lib.svt_seed_count.argtypes = [ctypes.c_void_p]
+                lib.svt_seed_copy.restype = None
+                lib.svt_seed_copy.argtypes = [
+                    ctypes.c_void_p,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int8),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
+                ]
+                lib.svt_seed_free.restype = None
+                lib.svt_seed_free.argtypes = [ctypes.c_void_p]
             if hasattr(lib, "svt_minimizers2"):
                 lib.svt_minimizers2.restype = ctypes.c_void_p
                 lib.svt_minimizers2.argtypes = [
@@ -132,6 +159,80 @@ class _NativeIO:
             return read_id, pos, hashes, strand
         finally:
             lib.svt_minimizers_free(handle)
+
+    def seed(
+        self,
+        codes: np.ndarray,
+        offsets: np.ndarray,
+        k: int,
+        w: int,
+        bitmap: np.ndarray,
+        bitmap_log2: int,
+        uniq_hash: np.ndarray,
+        hit_start: np.ndarray,
+        hit_path: np.ndarray,
+        hit_pos: np.ndarray,
+        hit_strand: np.ndarray,
+        diag_bin: int,
+        min_anchors: int,
+        n_threads: int = 0,
+    ):
+        """Full native seeding (minimizers -> lookup -> diagonal voting).
+
+        Returns (read, path, strand, d0, support) candidate arrays with the
+        same ordering/semantics as the numpy seed_candidates stage, or None
+        when the library predates svt_seed.
+        """
+        lib = self._lib
+        if not hasattr(lib, "svt_seed"):
+            return None
+        codes = np.ascontiguousarray(codes, dtype=np.int8)
+        offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+        uniq_hash = np.ascontiguousarray(uniq_hash, dtype=np.uint32)
+        hit_start = np.ascontiguousarray(hit_start, dtype=np.int64)
+        hit_path = np.ascontiguousarray(hit_path, dtype=np.int32)
+        hit_pos = np.ascontiguousarray(hit_pos, dtype=np.int32)
+        hit_strand = np.ascontiguousarray(hit_strand, dtype=np.int8)
+        handle = lib.svt_seed(
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            ctypes.c_int64(len(codes)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(len(offsets) - 1),
+            ctypes.c_int32(k),
+            ctypes.c_int32(w),
+            bitmap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int32(bitmap_log2),
+            uniq_hash.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.c_int64(len(uniq_hash)),
+            hit_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            hit_path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            hit_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            hit_strand.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            ctypes.c_int32(diag_bin),
+            ctypes.c_int32(min_anchors),
+            ctypes.c_int32(n_threads),
+        )
+        if not handle:
+            return None
+        try:
+            n = lib.svt_seed_count(handle)
+            read = np.empty(n, dtype=np.int32)
+            path = np.empty(n, dtype=np.int32)
+            strand = np.empty(n, dtype=np.int8)
+            d0 = np.empty(n, dtype=np.int32)
+            support = np.empty(n, dtype=np.int32)
+            if n:
+                lib.svt_seed_copy(
+                    handle,
+                    read.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    strand.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                    d0.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    support.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                )
+            return read, path, strand, d0, support
+        finally:
+            lib.svt_seed_free(handle)
 
     def read_sequences(
         self, path: str
