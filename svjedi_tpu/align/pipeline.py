@@ -295,9 +295,7 @@ def dispatch_chunk(
             meta[2, :P] = t_start[sel]
             meta[3, :P] = t_lo[sel]
             meta[4, :P] = t_hi[sel]
-            # v3's transposed VMEM blocks outgrow scoped VMEM past ~8K
-            # windows; the rare huge buckets take the v2 DMA kernel.
-            eng = "dma" if engine == "v3" and bucket > 8192 else engine
+            eng = engine
             if eng == "v3":
                 out = dev.window_score_v3_fwd(
                     device_data.reads2,

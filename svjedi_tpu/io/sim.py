@@ -186,21 +186,32 @@ def simulate_reads(
         start = int(rng.integers(0, max(1, len(seq) - length + 1)))
         fragment = seq[start : start + length]
         codes = np.frombuffer(fragment.encode(), dtype=np.uint8)
-        # Apply errors.
-        out = []
+        # Apply errors, vectorized: per input base emit 0-2 output bases
+        # (deletion; optional inserted base; substituted or original base).
         r = rng.random(len(codes))
         shift = rng.integers(1, 4, size=len(codes))
         base_idx = np.searchsorted(trans, codes)
-        for j in range(len(codes)):
-            if r[j] < del_rate:
-                continue
-            if r[j] < del_rate + ins_rate:
-                out.append(_BASES[int(rng.integers(4))])
-            if r[j] < del_rate + ins_rate + sub_rate:
-                out.append(_BASES[(base_idx[j] + shift[j]) % 4])
-            else:
-                out.append(chr(codes[j]))
-        read = "".join(out)
+        deleted = r < del_rate
+        inserted = (r >= del_rate) & (r < del_rate + ins_rate)
+        substituted = (
+            (r >= del_rate) & (r < del_rate + ins_rate + sub_rate)
+        )
+        kept = trans[
+            np.where(substituted, (base_idx + shift) % 4, base_idx)
+        ]
+        n_out = (~deleted).astype(np.int64) + inserted
+        ends = np.cumsum(n_out)
+        total = int(ends[-1]) if len(ends) else 0
+        out = np.empty(total, dtype=np.uint8)
+        keep_pos = ends - 1  # kept/sub base goes last in its slot
+        ins_pos = ends - n_out  # inserted base (if any) goes first
+        sel = ~deleted
+        out[keep_pos[sel]] = kept[sel]
+        if inserted.any():
+            out[ins_pos[inserted]] = trans[
+                rng.integers(0, 4, size=int(inserted.sum()))
+            ]
+        read = out.tobytes().decode()
         if rng.random() < 0.5:
             read = read.translate(str.maketrans("ACGT", "TGCA"))[::-1]
         names.append(f"sim_read_{i}_hap{hap_i}_{chrom}_{start}")

@@ -50,8 +50,8 @@ from ..align.extend import DPParams, NEG
 P_STEP = 128
 
 
-def _kernel(qT_ref, tT_ref, score_ref, qe_ref, te_ref, *, band, bucket,
-            params, interpret):
+def _kernel(qT_ref, tT_ref, score_ref, qe_ref, te_ref, *scratch, band,
+            bucket, params, interpret, hbm=False):
     B = band
     X = 16 * B  # lanes per state array; 8 sublanes * X = B * 128 cells
     oe = params.open_extend
@@ -60,6 +60,44 @@ def _kernel(qT_ref, tT_ref, score_ref, qe_ref, te_ref, *, band, bucket,
     sub_i = jax.lax.broadcasted_iota(jnp.int32, (8, X), 0)
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (8, X), 1)
     k_idx = sub_i * 16 + lane_i // 128  # band offset of each flat cell
+
+    if hbm:
+        # Large-window mode: qT/tT stay in HBM (their per-step VMEM blocks
+        # would exceed scoped VMEM); (8, 128) tiles are DMAed on demand.
+        # (Double-buffered prefetch was tried and measured SLOWER than the
+        # serial start/start/wait/wait pattern on this hardware.)
+        qbuf, tbuf, sems = scratch
+        col0 = pl.program_id(0) * 128
+
+        def load_qt(qrow8, trow8):
+            qcp = pltpu.make_async_copy(
+                qT_ref.at[pl.ds(qrow8, 8), pl.ds(col0, 128)], qbuf,
+                sems.at[0],
+            )
+            tcp = pltpu.make_async_copy(
+                tT_ref.at[pl.ds(trow8, 8), pl.ds(col0, 128)], tbuf,
+                sems.at[1],
+            )
+            qcp.start()
+            tcp.start()
+            qcp.wait()
+            tcp.wait()
+            return qbuf[:].astype(jnp.int32), tbuf[:].astype(jnp.int32)
+
+        def load_t(row8):
+            cp = pltpu.make_async_copy(
+                tT_ref.at[pl.ds(row8, 8), pl.ds(col0, 128)], tbuf,
+                sems.at[1],
+            )
+            cp.start()
+            cp.wait()
+            return tbuf[:].astype(jnp.int32)
+    else:
+        def load_q(row8):
+            return qT_ref[pl.ds(row8, 8), :].astype(jnp.int32)
+
+        def load_t(row8):
+            return tT_ref[pl.ds(row8, 8), :].astype(jnp.int32)
 
     def spread(row32):
         """(*, >=128) per-problem values -> (8, X) on every cell."""
@@ -93,7 +131,7 @@ def _kernel(qT_ref, tT_ref, score_ref, qe_ref, te_ref, *, band, bucket,
 
     # ---- prefill the shifting target band: t_cur[k] = t[k] ----
     def prefill(j8, t_cur):
-        ttile = tT_ref[pl.ds(j8 * 8, 8), :].astype(jnp.int32)
+        ttile = load_t(j8 * 8)
         for r in range(8):
             tv = extract(ttile, r)
             t_cur = jnp.where(k_idx == B - 1, tv, band_shift_up1(t_cur, 4))
@@ -111,10 +149,8 @@ def _kernel(qT_ref, tT_ref, score_ref, qe_ref, te_ref, *, band, bucket,
         jnp.full((8, X), -1, jnp.int32),  # BQE (row of each cell's best)
     )
 
-    def group_fn(i8, carry):
+    def process_group(i8, qtile, ttile, carry):
         (t_cur, H, V, BEST, BQE) = carry
-        qtile = qT_ref[pl.ds(i8 * 8, 8), :].astype(jnp.int32)
-        ttile = tT_ref[pl.ds(i8 * 8 + B, 8), :].astype(jnp.int32)
         for r in range(8):
             i = i8 * 8 + r
             qi = extract(qtile, r)
@@ -142,6 +178,14 @@ def _kernel(qT_ref, tT_ref, score_ref, qe_ref, te_ref, *, band, bucket,
             tv = extract(ttile, r)
             t_cur = jnp.where(k_idx == B - 1, tv, band_shift_up1(t_cur, 4))
         return (t_cur, H, V, BEST, BQE)
+
+    if hbm:
+        def group_fn(i8, carry):
+            qtile, ttile = load_qt(i8 * 8, i8 * 8 + B)
+            return process_group(i8, qtile, ttile, carry)
+    else:
+        def group_fn(i8, carry):
+            return process_group(i8, load_q(i8 * 8), load_t(i8 * 8 + B), carry)
 
     (_, _, _, BEST, BQE) = jax.lax.fori_loop(
         0, bucket // 8, group_fn, init
@@ -196,22 +240,41 @@ def band_dp_v3_fwd(
     assert P % P_STEP == 0 and band % 128 == 0 and bucket % 8 == 0
     assert bucket < (1 << 15) and bucket + band < (1 << 16)
     assert qT.shape == (bucket, P) and tT.shape == (bucket + band, P)
+    # Above this window size the pipelined (bucket, 128) VMEM input blocks
+    # (double-buffered, x2 inputs) no longer fit scoped VMEM; switch to
+    # HBM-resident inputs with on-demand (8, 128) tile DMA.
+    hbm = bucket > 8192 and not interpret
     kernel = functools.partial(
-        _kernel, band=band, bucket=bucket, params=params, interpret=interpret
+        _kernel, band=band, bucket=bucket, params=params,
+        interpret=interpret, hbm=hbm,
     )
+    if hbm:
+        in_specs = [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        scratch_shapes = [
+            pltpu.VMEM((8, P_STEP), jnp.int8),
+            pltpu.VMEM((8, P_STEP), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        in_specs = [
+            pl.BlockSpec((bucket, P_STEP), lambda n: (0, n)),
+            pl.BlockSpec((bucket + band, P_STEP), lambda n: (0, n)),
+        ]
+        scratch_shapes = []
     outs = pl.pallas_call(
         kernel,
         grid=(P // P_STEP,),
-        in_specs=[
-            pl.BlockSpec((bucket, P_STEP), lambda n: (0, n)),
-            pl.BlockSpec((bucket + band, P_STEP), lambda n: (0, n)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((8, P_STEP), lambda n: (0, n)) for _ in range(3)
         ],
         out_shape=[
             jax.ShapeDtypeStruct((8, P), jnp.int32) for _ in range(3)
         ],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(qT, tT)
     score, qe, te = (o[0] for o in outs)
