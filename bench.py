@@ -54,7 +54,9 @@ def main() -> int:
     # tunnel cost minutes cold; cache them across bench processes.
     import jax
 
-    cache_dir = os.environ.get("SVJT_JAX_CACHE", "/tmp/svjt_jax_cache")
+    cache_dir = os.environ.get(
+        "SVJT_JAX_CACHE", os.path.expanduser("~/.cache/svjt_jax")
+    )
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

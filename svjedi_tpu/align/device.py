@@ -61,6 +61,25 @@ def _expand_reads(payload: jnp.ndarray, n: int, pad: int, packed: bool):
     return jnp.concatenate([codes, rc, sentinel])
 
 
+@functools.partial(jax.jit, static_argnames=("n_cap", "pad"))
+def _expand_reads_raw(codes: jnp.ndarray, n_cap: int, pad: int):
+    """fwd ++ revcomp ++ sentinel layout from raw (unpadded) codes.
+
+    Shape-class padding happens ON DEVICE: host-side packing/padding of a
+    ~100 MB chunk costs seconds of numpy, while the raw int8 transfer plus
+    this trivially-fused expansion is tens of ms. The raw-length retrace is
+    XLA-only (cheap); everything downstream sees only the n_cap class.
+    """
+    n = codes.shape[0]
+    codes = jnp.concatenate(
+        [codes, jnp.zeros((n_cap - n,), jnp.int8)]
+    )
+    flipped = jnp.flip(codes)
+    rc = jnp.where(flipped < 4, 3 - flipped, flipped).astype(jnp.int8)
+    sentinel = jnp.full((pad,), 4, jnp.int8)
+    return jnp.concatenate([codes, rc, sentinel])
+
+
 def _pack_2bit(codes: np.ndarray) -> np.ndarray:
     pad = (-len(codes)) % 4
     padded = np.concatenate([codes, np.zeros(pad, np.int8)]).astype(np.uint8)
@@ -119,21 +138,17 @@ def upload(
             panel_cache["lens"] = lens
 
     n = len(reads_codes)
-    granule = min(SHAPE_GRANULE, max(4096, pad))
-    n_cap = ((n + granule - 1) // granule) * granule
+    # Shape classes must be COARSE: every distinct reads2 length re-lowers
+    # every jit that takes it (cheap XLA for the v3 prep, but a 20-60 s
+    # Mosaic compile for kernels with reads2 in their signature). Powers of
+    # two above a floor bound the class count logarithmically; <=2x buffer
+    # waste is noise next to one avoided recompile.
+    n_cap = 1 << max(12, (max(n, 1) - 1).bit_length())
     # Sentinel tail sized so the total is ALIGN-aligned (2*n_cap + pad_tot).
     pad_tot = pad + (-(2 * n_cap + pad)) % ALIGN
-    if n < n_cap:
-        reads_codes = np.concatenate(
-            [reads_codes, np.zeros(n_cap - n, dtype=np.int8)]
-        )
-    if n_cap and not (reads_codes == 4).any():
-        payload = jnp.asarray(_pack_2bit(reads_codes))
-        reads2 = _expand_reads(payload, n=n_cap, pad=pad_tot, packed=True)
-    else:
-        reads2 = _expand_reads(
-            jnp.asarray(reads_codes), n=n_cap, pad=pad_tot, packed=False
-        )
+    reads2 = _expand_reads_raw(
+        jnp.asarray(reads_codes), n_cap=n_cap, pad=pad_tot
+    )
     return DeviceData(
         reads2=reads2,
         panel_padded=panel_padded,
@@ -223,9 +238,16 @@ def _prep_v3_windows(reads2, panel_padded, meta, bucket: int, band: int):
     return qT, jnp.where(tvalid, tT, jnp.int8(4))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("bucket", "band", "params")
-)
+#: The prep is jitted SEPARATELY from the Pallas kernel: the prep's
+#: signature contains the reads2 buffer (whose length varies by chunk-size
+#: class — a cheap XLA re-lower), while the kernel jit sees only the
+#: (bucket, P) window matrices whose shape classes are stable, so a new
+#: chunk size never triggers a 20-60 s Mosaic recompile.
+_prep_v3_windows_jit = functools.partial(
+    jax.jit, static_argnames=("bucket", "band")
+)(_prep_v3_windows)
+
+
 def window_score_v3_fwd(
     reads2: jnp.ndarray,
     panel_padded: jnp.ndarray,
@@ -233,17 +255,17 @@ def window_score_v3_fwd(
     bucket: int,
     band: int,
     params: DPParams,
+    n_valid=None,
 ) -> jnp.ndarray:
     """v3 forward pass: (P, 3) int32 [score, qe, te] in window coords."""
-    from ..kernels.band_dp_v3 import band_dp_v3_fwd
+    from ..kernels.band_dp_v3 import band_dp_v3_fwd_jit
 
-    qT, tT = _prep_v3_windows(reads2, panel_padded, meta, bucket, band)
-    return band_dp_v3_fwd(qT, tT, bucket, band, params)
+    qT, tT = _prep_v3_windows_jit(
+        reads2, panel_padded, meta, bucket=bucket, band=band
+    )
+    return band_dp_v3_fwd_jit(qT, tT, bucket, band, params, n_valid)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("bucket", "band", "params")
-)
 def window_score_v3_rev(
     reads2: jnp.ndarray,
     panel_padded: jnp.ndarray,
@@ -251,12 +273,15 @@ def window_score_v3_rev(
     bucket: int,
     band: int,
     params: DPParams,
+    n_valid=None,
 ) -> jnp.ndarray:
     """v3 reverse pass on end-clamped windows: (P, 3) [score, qs, ts]."""
-    from ..kernels.band_dp_v3 import band_dp_v3_rev
+    from ..kernels.band_dp_v3 import band_dp_v3_rev_jit
 
-    qT, tT = _prep_v3_windows(reads2, panel_padded, meta, bucket, band)
-    return band_dp_v3_rev(qT, tT, bucket, band, params)
+    qT, tT = _prep_v3_windows_jit(
+        reads2, panel_padded, meta, bucket=bucket, band=band
+    )
+    return band_dp_v3_rev_jit(qT, tT, bucket, band, params, n_valid)
 
 
 @functools.partial(

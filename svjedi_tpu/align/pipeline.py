@@ -168,8 +168,14 @@ def build_problem_batches(
             yield chunk, q_batch, t_batch, t_starts, rw_start[chunk]
 
 
-def _pad_class(P: int, minimum: int = 256) -> int:
-    """Next power-of-two batch shape >= P (bounded compiled-shape set)."""
+def _pad_class(P: int, minimum: int = 8192) -> int:
+    """Next power-of-two batch shape >= P, floored at ``minimum``.
+
+    Every distinct (bucket, Ppad) pair is a separate Mosaic kernel compile
+    (20-60 s through the TPU tunnel), so the class set must stay tiny: with
+    an 8192 floor and a 32768 batch cap there are at most three classes per
+    bucket. Padded rows carry m=0 (empty problems) — wasted kernel work is
+    milliseconds against each avoided compile."""
     p = minimum
     while p < P:
         p <<= 1
@@ -288,7 +294,10 @@ def dispatch_chunk(
         for lo in range(0, len(sel_all), batch_size):
             sel = sel_all[lo : lo + batch_size]
             P = len(sel)
-            Ppad = _pad_class(P)
+            # The 8192 floor exists to bound Mosaic kernel compiles (each
+            # (bucket, Ppad) is one); the gather/dma engines skip no padded
+            # work, so they keep fine-grained classes.
+            Ppad = _pad_class(P, 8192 if engine == "v3" else 256)
             meta = np.zeros((5, Ppad), dtype=np.int32)
             meta[0, :P] = q_start[sel]
             meta[1, :P] = m32[sel]  # padding rows get m=0 → empty problems
@@ -304,6 +313,7 @@ def dispatch_chunk(
                     bucket=int(bucket),
                     band=B,
                     params=params,
+                    n_valid=P,
                 )
             else:
                 out = dev.window_score_packed(
@@ -470,6 +480,7 @@ def dispatch_rev(
             bucket=int(bucket),
             band=cfg.band,
             params=params,
+            n_valid=P,
         )
         disp.rev_batches.append((sub, csub, out))
 
@@ -612,7 +623,7 @@ def align_and_count(
     genotype_cfg: GenotypeConfig,
     collect_audit: bool = True,
     timings: Optional[Dict[str, float]] = None,
-    chunk_reads: int = 2048,
+    chunk_reads: int = 16384,
     batch_size: int = 32768,
 ):
     """Full aligner stage: reads + panel → (counts, audit, winners).

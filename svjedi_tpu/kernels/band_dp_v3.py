@@ -50,8 +50,8 @@ from ..align.extend import DPParams, NEG
 P_STEP = 128
 
 
-def _kernel(qT_ref, tT_ref, score_ref, qe_ref, te_ref, *scratch, band,
-            bucket, params, interpret, hbm=False):
+def _kernel(n_valid_ref, qT_ref, tT_ref, score_ref, qe_ref, te_ref,
+            *scratch, band, bucket, params, interpret, hbm=False):
     B = band
     X = 16 * B  # lanes per state array; 8 sublanes * X = B * 128 cells
     oe = params.open_extend
@@ -61,21 +61,28 @@ def _kernel(qT_ref, tT_ref, score_ref, qe_ref, te_ref, *scratch, band,
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (8, X), 1)
     k_idx = sub_i * 16 + lane_i // 128  # band offset of each flat cell
 
+    # Batches are padded to a tiny class set ({8192, 16384}); grid steps
+    # holding only padding (every problem has m=0) skip all work — their
+    # output rows are garbage the host never reads.
+    step_active = pl.program_id(0) * P_STEP < n_valid_ref[0]
+
     if hbm:
         # Large-window mode: qT/tT stay in HBM (their per-step VMEM blocks
         # would exceed scoped VMEM); (8, 128) tiles are DMAed on demand.
         # (Double-buffered prefetch was tried and measured SLOWER than the
         # serial start/start/wait/wait pattern on this hardware.)
-        qbuf, tbuf, sems = scratch
+        qbuf, tbuf, sems = scratch  # (32, 128) int8 each
         col0 = pl.program_id(0) * 128
 
-        def load_qt(qrow8, trow8):
+        def load_qt32(qrow, trow):
+            """Fetch 32 q rows + 32 t rows in two DMAs (amortizes the
+            ~serial DMA latency over 4 processing groups)."""
             qcp = pltpu.make_async_copy(
-                qT_ref.at[pl.ds(qrow8, 8), pl.ds(col0, 128)], qbuf,
+                qT_ref.at[pl.ds(qrow, 32), pl.ds(col0, 128)], qbuf,
                 sems.at[0],
             )
             tcp = pltpu.make_async_copy(
-                tT_ref.at[pl.ds(trow8, 8), pl.ds(col0, 128)], tbuf,
+                tT_ref.at[pl.ds(trow, 32), pl.ds(col0, 128)], tbuf,
                 sems.at[1],
             )
             qcp.start()
@@ -84,20 +91,26 @@ def _kernel(qT_ref, tT_ref, score_ref, qe_ref, te_ref, *scratch, band,
             tcp.wait()
             return qbuf[:].astype(jnp.int32), tbuf[:].astype(jnp.int32)
 
-        def load_t(row8):
+        def load_t32(row):
             cp = pltpu.make_async_copy(
-                tT_ref.at[pl.ds(row8, 8), pl.ds(col0, 128)], tbuf,
+                tT_ref.at[pl.ds(row, 32), pl.ds(col0, 128)], tbuf,
                 sems.at[1],
             )
             cp.start()
             cp.wait()
             return tbuf[:].astype(jnp.int32)
+
+        load_q = None
+        load_t = None
+        load_qt = load_qt32
     else:
         def load_q(row8):
             return qT_ref[pl.ds(row8, 8), :].astype(jnp.int32)
 
         def load_t(row8):
             return tT_ref[pl.ds(row8, 8), :].astype(jnp.int32)
+
+        load_qt = None
 
     def spread(row32):
         """(*, >=128) per-problem values -> (8, X) on every cell."""
@@ -129,17 +142,53 @@ def _kernel(qT_ref, tT_ref, score_ref, qe_ref, te_ref, *scratch, band,
         c = jnp.where(lane_i < X - 128, b, pltpu.roll(b, 7, axis=0))
         return jnp.where(k_idx == B - 1, fill, c)
 
-    # ---- prefill the shifting target band: t_cur[k] = t[k] ----
-    def prefill(j8, t_cur):
-        ttile = load_t(j8 * 8)
-        for r in range(8):
-            tv = extract(ttile, r)
-            t_cur = jnp.where(k_idx == B - 1, tv, band_shift_up1(t_cur, 4))
-        return t_cur
+    @pl.when(step_active)
+    def _body():
+        _kernel_body(
+            qT_ref, tT_ref, score_ref, qe_ref, te_ref, scratch,
+            band=band, bucket=bucket, params=params, interpret=interpret,
+            hbm=hbm, helpers=(spread, extract, band_shift_down,
+                              band_shift_up1, load_q, load_qt, load_t,
+                              load_t32 if hbm else None, k_idx, lane_i),
+        )
 
-    t_cur = jax.lax.fori_loop(
-        0, B // 8, prefill, jnp.full((8, X), 4, jnp.int32)
-    )
+
+def _kernel_body(qT_ref, tT_ref, score_ref, qe_ref, te_ref, scratch, *,
+                 band, bucket, params, interpret, hbm, helpers):
+    (spread, extract, band_shift_down, band_shift_up1, load_q, load_qt,
+     load_t, load_t32, k_idx, lane_i) = helpers
+    B = band
+    X = 16 * B
+    oe = params.open_extend
+    ext = params.gap_extend
+
+    # ---- prefill the shifting target band: t_cur[k] = t[k] ----
+    if hbm:
+        def prefill(j32, t_cur):
+            tt = load_t32(j32 * 32)
+            for g in range(4):
+                ttile = tt[g * 8 : (g + 1) * 8]
+                for r in range(8):
+                    tv = extract(ttile, r)
+                    t_cur = jnp.where(
+                        k_idx == B - 1, tv, band_shift_up1(t_cur, 4)
+                    )
+            return t_cur
+
+        t_cur = jax.lax.fori_loop(
+            0, B // 32, prefill, jnp.full((8, X), 4, jnp.int32)
+        )
+    else:
+        def prefill(j8, t_cur):
+            ttile = load_t(j8 * 8)
+            for r in range(8):
+                tv = extract(ttile, r)
+                t_cur = jnp.where(k_idx == B - 1, tv, band_shift_up1(t_cur, 4))
+            return t_cur
+
+        t_cur = jax.lax.fori_loop(
+            0, B // 8, prefill, jnp.full((8, X), 4, jnp.int32)
+        )
 
     init = (
         t_cur,
@@ -180,16 +229,25 @@ def _kernel(qT_ref, tT_ref, score_ref, qe_ref, te_ref, *scratch, band,
         return (t_cur, H, V, BEST, BQE)
 
     if hbm:
-        def group_fn(i8, carry):
-            qtile, ttile = load_qt(i8 * 8, i8 * 8 + B)
-            return process_group(i8, qtile, ttile, carry)
+        def super_fn(i32, carry):
+            qt, tt = load_qt(i32 * 32, i32 * 32 + B)
+            for g in range(4):
+                carry = process_group(
+                    i32 * 4 + g, qt[g * 8 : (g + 1) * 8],
+                    tt[g * 8 : (g + 1) * 8], carry,
+                )
+            return carry
+
+        (_, _, _, BEST, BQE) = jax.lax.fori_loop(
+            0, bucket // 32, super_fn, init
+        )
     else:
         def group_fn(i8, carry):
             return process_group(i8, load_q(i8 * 8), load_t(i8 * 8 + B), carry)
 
-    (_, _, _, BEST, BQE) = jax.lax.fori_loop(
-        0, bucket // 8, group_fn, init
-    )
+        (_, _, _, BEST, BQE) = jax.lax.fori_loop(
+            0, bucket // 8, group_fn, init
+        )
 
     # ---- per-problem reduction over the band (sublanes + lane chunks) ----
     def fold(m, op):
@@ -229,6 +287,7 @@ def band_dp_v3_fwd(
     bucket: int,
     band: int,
     params: DPParams = DPParams(),
+    n_valid=None,  # scalar: real problem count (grid steps past it skip)
     interpret: bool = False,
 ):
     """Forward pass: per problem (score, qe, te) — ends only.
@@ -237,6 +296,8 @@ def band_dp_v3_fwd(
     :func:`band_dp_v3_rev` on the (much smaller) winner set.
     """
     P = qT.shape[1]
+    if n_valid is None:
+        n_valid = P
     assert P % P_STEP == 0 and band % 128 == 0 and bucket % 8 == 0
     assert bucket < (1 << 15) and bucket + band < (1 << 16)
     assert qT.shape == (bucket, P) and tT.shape == (bucket + band, P)
@@ -254,29 +315,34 @@ def band_dp_v3_fwd(
             pl.BlockSpec(memory_space=pl.ANY),
         ]
         scratch_shapes = [
-            pltpu.VMEM((8, P_STEP), jnp.int8),
-            pltpu.VMEM((8, P_STEP), jnp.int8),
+            pltpu.VMEM((32, P_STEP), jnp.int8),
+            pltpu.VMEM((32, P_STEP), jnp.int8),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
         in_specs = [
-            pl.BlockSpec((bucket, P_STEP), lambda n: (0, n)),
-            pl.BlockSpec((bucket + band, P_STEP), lambda n: (0, n)),
+            pl.BlockSpec((bucket, P_STEP), lambda n, *_: (0, n)),
+            pl.BlockSpec((bucket + band, P_STEP), lambda n, *_: (0, n)),
         ]
         scratch_shapes = []
-    outs = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(P // P_STEP,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((8, P_STEP), lambda n: (0, n)) for _ in range(3)
+            pl.BlockSpec((8, P_STEP), lambda n, *_: (0, n))
+            for _ in range(3)
         ],
+        scratch_shapes=scratch_shapes,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((8, P), jnp.int32) for _ in range(3)
         ],
-        scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(qT, tT)
+    )(jnp.asarray(n_valid, jnp.int32).reshape(1), qT, tT)
     score, qe, te = (o[0] for o in outs)
     return jnp.stack([score, qe, te], axis=1)
 
@@ -287,6 +353,7 @@ def band_dp_v3_rev(
     bucket: int,
     band: int,
     params: DPParams = DPParams(),
+    n_valid=None,
     interpret: bool = False,
 ):
     """Reverse pass: per problem (score, qs, ts) — starts of an optimal
@@ -303,12 +370,25 @@ def band_dp_v3_rev(
     # [0, band); the wrapped row is never read (i''+k'' <= TW-2).
     tT_r = jnp.roll(jnp.flip(tT, axis=0), -1, axis=0)
     out = band_dp_v3_fwd(
-        qT_r, tT_r, bucket, band, params, interpret=interpret
+        qT_r, tT_r, bucket, band, params, n_valid=n_valid,
+        interpret=interpret,
     )
     score = out[:, 0]
     qs = (bucket - 1) - out[:, 1]
     ts = (TW - 2) - out[:, 2]
     return jnp.stack([score, qs, ts], axis=1)
+
+
+#: Standalone-jitted passes: their signatures contain only the (bucket, P)
+#: window matrices, whose shape classes are stable across read chunks, so
+#: the expensive Mosaic compile is never re-triggered by chunk-size jitter
+#: (see align/device.py window_score_v3_fwd).
+band_dp_v3_fwd_jit = functools.partial(
+    jax.jit, static_argnames=("bucket", "band", "params", "interpret")
+)(band_dp_v3_fwd)
+band_dp_v3_rev_jit = functools.partial(
+    jax.jit, static_argnames=("bucket", "band", "params", "interpret")
+)(band_dp_v3_rev)
 
 
 @functools.partial(
