@@ -659,7 +659,9 @@ def align_and_count(
     pending: List[Tuple[int, ReadSet, ChunkDispatch]] = []
 
     def flush():
+        tf0 = time.perf_counter()
         per_chunk = collect_outs([d for (_, _, d) in pending])
+        tf1 = time.perf_counter()
         # Pass 2: winner starts via the v3 reverse pass (one more bulk
         # dispatch round + one bulk fetch for all chunks).
         finalized = []
@@ -667,8 +669,13 @@ def align_and_count(
             winners, win = finalize_chunk(index, align_cfg, disp, host_rows)
             dispatch_rev(align_cfg, disp, winners, win)
             finalized.append(winners)
+        tf2 = time.perf_counter()
         rev_rows_all = collect_rev([d for (_, _, d) in pending])
         t2 = time.perf_counter()
+        if timings is not None:
+            timings["fwd_exec_s"] = timings.get("fwd_exec_s", 0.0) + (tf1 - tf0)
+            timings["rev_disp_s"] = timings.get("rev_disp_s", 0.0) + (tf2 - tf1)
+            timings["rev_exec_s"] = timings.get("rev_exec_s", 0.0) + (t2 - tf2)
         for (start, chunk, disp), winners, rev_rows in zip(
             pending, finalized, rev_rows_all
         ):
