@@ -33,6 +33,78 @@ TEST_DIR = Path(os.environ.get("SVJT_TESTDIR", "/root/reference/test-dir"))
 REPS = int(os.environ.get("SVJT_BENCH_REPS", "10"))
 #: minigraph-class CPU baseline (reads/s on this read mix); see docstring.
 BASELINE_READS_PER_S = float(os.environ.get("SVJT_BASELINE_READS_PER_S", "500"))
+#: "golden" (default; replicated test-dir bundle, golden-gated) or "scale"
+#: (simulated 10 Mb / 1,000 SVs / 20x, truth-concordance-gated).
+CONFIG = os.environ.get("SVJT_BENCH_CONFIG", "golden")
+
+
+def _scale_bench() -> int:
+    """Throughput on the BASELINE.md production-scale simulated config."""
+    import numpy as np
+
+    from svjedi_tpu.align.index import build_panel_index
+    from svjedi_tpu.align.pipeline import align_and_count
+    from svjedi_tpu.config import AlignConfig, GenotypeConfig
+    from svjedi_tpu.graph.build import build_graph
+    from svjedi_tpu.graph.cluster import build_panel
+    from svjedi_tpu.graph.svparse import parse_vcf_svs
+    from svjedi_tpu.io import sim
+    from svjedi_tpu.io.fastq import ReadSet
+
+    import tempfile
+
+    rng = np.random.default_rng(11)
+    s = sim.simulate(seed=2, chrom_lengths={"chr1": 10_000_000}, n_svs=1000)
+    names, seqs = sim.simulate_reads(rng, s.haplotypes, coverage=20.0)
+    lut = np.full(256, 4, np.int8)
+    for b, v in zip(b"ACGT", range(4)):
+        lut[b] = v
+    codes = lut[np.frombuffer("".join(seqs).encode(), dtype=np.uint8)]
+    offsets = np.concatenate(
+        [[0], np.cumsum([len(x) for x in seqs])]
+    ).astype(np.int64)
+    reads = ReadSet(names=names, codes=codes, offsets=offsets)
+    cfg = AlignConfig()
+    gcfg = GenotypeConfig()
+    with tempfile.TemporaryDirectory() as tmp:
+        vcf = os.path.join(tmp, "t.vcf")
+        sim.write_truth_vcf(s, vcf)
+        parsed = parse_vcf_svs(vcf, {c: len(x) for c, x in s.chroms.items()})
+        graph = build_graph(s.chroms, parsed)
+        panel = build_panel(
+            graph, flank=cfg.flank, cluster_gap=cfg.cluster_gap,
+            max_paths_per_cluster=cfg.max_paths_per_cluster,
+        )
+        index = build_panel_index(
+            panel, k=cfg.kmer, w=cfg.window,
+            max_hits_per_minimizer=cfg.max_hits_per_minimizer,
+        )
+        counts, _, _ = align_and_count(
+            reads, panel, index, cfg, gcfg, collect_audit=False
+        )  # warm + correctness input
+        from svjedi_tpu.evals.contingency import contingency_report
+        from svjedi_tpu.genotype.vcf_writer import write_genotyped_vcf
+
+        out_vcf = os.path.join(tmp, "g.vcf")
+        write_genotyped_vcf(vcf, out_vcf, counts)
+        report = contingency_report(vcf, out_vcf)
+    if "accuracy: 100.0" not in report:
+        print(json.dumps({
+            "metric": "scale_reads_per_s_per_chip", "value": 0.0,
+            "unit": "reads/s", "vs_baseline": 0.0,
+            "error": "scale accuracy check failed",
+        }))
+        return 1
+    t0 = time.perf_counter()
+    align_and_count(reads, panel, index, cfg, gcfg, collect_audit=False)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "scale_reads_per_s_per_chip",
+        "value": round(reads.n_reads / dt, 2),
+        "unit": "reads/s",
+        "vs_baseline": round(reads.n_reads / dt / BASELINE_READS_PER_S, 3),
+    }))
+    return 0
 
 
 def main() -> int:
@@ -62,6 +134,9 @@ def main() -> int:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+
+    if CONFIG == "scale":
+        return _scale_bench()
 
     from svjedi_tpu.align.index import build_panel_index
     from svjedi_tpu.align.pipeline import align_and_count
