@@ -39,6 +39,11 @@ def _add_run(sub):
                    help="allele error probability")
     p.add_argument("--no-artifacts", action="store_true",
                    help="skip writing intermediate artifacts")
+    p.add_argument(
+        "--shard", default=None, metavar="I/N",
+        help="multi-host data parallelism: process read block I of N and "
+             "write a shard audit table; finish with the merge command",
+    )
     p.add_argument("--profile-dir", default=None,
                    help="capture a JAX profiler trace into this directory")
 
@@ -65,6 +70,16 @@ def _add_stage_parsers(sub):
     e = sub.add_parser("eval", help="genotype concordance table")
     e.add_argument("truth_vcf")
     e.add_argument("predicted_vcf")
+
+    mg = sub.add_parser(
+        "merge", help="merge shard audit tables and genotype once"
+    )
+    mg.add_argument("-v", "--vcf", required=True)
+    mg.add_argument("-p", "--prefix", required=True)
+    mg.add_argument("-n", "--shards", type=int, required=True)
+    mg.add_argument("-o", "--output", default=None)
+    mg.add_argument("-ms", "--minsupport", type=int, default=3)
+    mg.add_argument("-e", "--err", type=float, default=0.00005)
 
 
 def _honor_platform_env() -> None:
@@ -104,6 +119,10 @@ def main(argv=None) -> int:
         from .pipeline import run_pipeline
 
         print("Constructing variation graph and panel...")
+        shard = None
+        if args.shard:
+            i, n = args.shard.split("/")
+            shard = (int(i), int(n))
         cfg = PipelineConfig(
             vcf=args.vcf,
             ref=args.ref,
@@ -111,11 +130,18 @@ def main(argv=None) -> int:
             prefix=args.prefix,
             genotype=GenotypeConfig(min_support=args.minsupport, err=args.err),
             dist=DistConfig(data_shards=max(1, args.threads)),
+            shard=shard,
             keep_artifacts=not args.no_artifacts,
             profile_dir=args.profile_dir,
         )
         result = run_pipeline(cfg)
-        print(f"Genotyped svs: {result['stats'].counters['genotyped_svs']}")
+        if shard is not None:
+            print(f"Shard audit written: {result['shard_json']}")
+        else:
+            print(
+                "Genotyped svs: "
+                f"{result['stats'].counters['genotyped_svs']}"
+            )
         return 0
 
     if args.command == "graph":
@@ -156,6 +182,16 @@ def main(argv=None) -> int:
             min_support=args.minsupport, err=args.err,
         )
         print("Genotyped svs: " + str(summary["genotyped_svs"]))
+        return 0
+
+    if args.command == "merge":
+        from .pipeline import merge_shards
+
+        result = merge_shards(
+            args.vcf, args.prefix, args.shards, out_vcf=args.output,
+            min_support=args.minsupport, err=args.err,
+        )
+        print("Genotyped svs: " + str(result["summary"]["genotyped_svs"]))
         return 0
 
     if args.command == "eval":

@@ -87,6 +87,14 @@ class PipelineConfig:
     genotype: GenotypeConfig = GenotypeConfig()
     dist: DistConfig = DistConfig()
 
+    #: Multi-host data parallelism: (shard_index, shard_count). Each host
+    #: runs the pipeline on its contiguous block of the read stream and
+    #: writes ``<prefix>.shard{i}of{n}_informative_aln.json``; the
+    #: ``merge`` CLI command sums the per-(SV, allele) counts — the only
+    #: cross-read reduction — and genotypes (SURVEY §2.2). On a pod slice
+    #: the same reduction rides a psum instead (dist/count_step.py).
+    shard: Optional[tuple] = None
+
     #: Preserve stage artifacts (gfa / edges json / informative-aln json) so
     #: stages are independently re-runnable (SURVEY §5.4 de-facto resume).
     keep_artifacts: bool = True

@@ -31,6 +31,40 @@ from .io.fastq import read_reads
 from .utils.stats import RunStats
 
 
+def merge_shards(
+    vcf,
+    prefix: str,
+    n_shards: int,
+    out_vcf=None,
+    min_support: int = 3,
+    err: float = 0.00005,
+) -> Dict:
+    """Merge per-host shard audit tables and genotype once.
+
+    The only cross-read state in the whole pipeline is the per-(SV, allele)
+    alignment list, so the multi-host reduction is a concatenation + count
+    (associative and order-independent; SURVEY §2.2).
+    """
+    merged: Dict = {}
+    for i in range(n_shards):
+        path = f"{prefix}.shard{i}of{n_shards}_informative_aln.json"
+        with open(path) as fh:
+            part = json.load(fh)
+        for tag, pair in part.items():
+            entry = merged.setdefault(tag, [[], []])
+            entry[0].extend(pair[0])
+            entry[1].extend(pair[1])
+    from .genotype.filter_gaf import counts_from_informative
+
+    write_informative_json(merged, f"{prefix}_informative_aln.json")
+    counts = counts_from_informative(merged)
+    out_vcf = out_vcf or f"{prefix}_genotype.vcf"
+    summary = write_genotyped_vcf(
+        vcf, out_vcf, counts, min_support=min_support, err=err
+    )
+    return {"counts": counts, "output_vcf": out_vcf, "summary": summary}
+
+
 def run_pipeline(cfg: PipelineConfig) -> Dict:
     """Run all stages; returns summary info."""
     stats = RunStats()
@@ -94,6 +128,12 @@ def run_pipeline(cfg: PipelineConfig) -> Dict:
 
     with stats.timer("load_reads"):
         reads = read_reads(cfg.reads)
+        if cfg.shard is not None:
+            i, n = cfg.shard
+            lo = reads.n_reads * i // n
+            hi = reads.n_reads * (i + 1) // n
+            reads = reads.slice(lo, hi)
+            stats.set("shard", f"{i}/{n}")
     stats.set("n_reads", reads.n_reads)
     stats.set("read_bases", int(reads.lengths.sum()))
 
@@ -119,6 +159,15 @@ def run_pipeline(cfg: PipelineConfig) -> Dict:
         "n_informative_alignments",
         int(sum(sum(v) for v in counts.values())),
     )
+    if cfg.shard is not None:
+        # Shard mode: emit this host's audit table and stop — merging (the
+        # per-(SV, allele) count sum) and genotyping happen once, via the
+        # ``merge`` command.
+        i, n = cfg.shard
+        shard_path = f"{prefix}.shard{i}of{n}_informative_aln.json"
+        write_informative_json(audit, shard_path)
+        stats.dump(f"{prefix}.shard{i}of{n}_stats.json")
+        return {"counts": counts, "stats": stats, "shard_json": shard_path}
     if cfg.keep_artifacts:
         write_informative_json(audit, f"{prefix}_informative_aln.json")
 
