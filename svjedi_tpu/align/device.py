@@ -43,6 +43,11 @@ class DeviceData:
     panel_len: np.ndarray  # int64 per-path length (host)
     n_bases: int  # N (forward half length)
     pad: int
+    #: 2-bit-packed (words, nwords) of reads2 and panel_padded, computed
+    #: ONCE at upload: the v3 window prep needs packed buffers, and packing
+    #: a ~100 MB chunk inside every per-batch prep jit re-did O(total bases)
+    #: work per dispatch (fwd and rev) instead of per chunk.
+    packed: tuple = None  # (rw, rn, pw, pn)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "pad", "packed"))
@@ -118,6 +123,7 @@ def upload(
         panel_padded = panel_cache["flat"]
         starts = panel_cache["starts"]
         lens = panel_cache["lens"]
+        pw, pn = panel_cache["words"]
     else:
         lens = np.array([p.length for p in panel.paths], dtype=np.int64)
         starts = np.zeros(len(lens), dtype=np.int64)
@@ -132,10 +138,12 @@ def upload(
             flat[pos : pos + p.length] = p.seq
             pos += p.length
         panel_padded = jnp.asarray(flat)
+        pw, pn = _pack_words_jit(panel_padded)
         if panel_cache is not None:
             panel_cache["flat"] = panel_padded
             panel_cache["starts"] = starts
             panel_cache["lens"] = lens
+            panel_cache["words"] = (pw, pn)
 
     n = len(reads_codes)
     # Shape classes must be COARSE: every distinct reads2 length re-lowers
@@ -149,6 +157,7 @@ def upload(
     reads2 = _expand_reads_raw(
         jnp.asarray(reads_codes), n_cap=n_cap, pad=pad_tot
     )
+    rw, rn = _pack_words_jit(reads2)
     return DeviceData(
         reads2=reads2,
         panel_padded=panel_padded,
@@ -156,6 +165,7 @@ def upload(
         panel_len=lens,
         n_bases=n_cap,
         pad=pad,
+        packed=(rw, rn, pw, pn),
     )
 
 
@@ -182,6 +192,10 @@ def _pack_words(codes: jnp.ndarray):
     shifts32 = jnp.arange(32, dtype=jnp.uint32)[None, :]
     nwords = jnp.sum(nbit << shifts32, axis=1, dtype=jnp.uint32)
     return words, nwords
+
+
+#: Once-per-upload packing entry point (see DeviceData.packed).
+_pack_words_jit = jax.jit(_pack_words)
 
 
 def _gather_window_T(words, nwords, start, n_rows: int):
@@ -224,10 +238,18 @@ def _gather_window_T(words, nwords, start, n_rows: int):
 
 
 def _prep_v3_windows(reads2, panel_padded, meta, bucket: int, band: int):
-    """Transposed, sentinel-masked window matrices for the v3 kernel."""
-    q_start, m, t_start, t_lo, t_hi = (meta[i] for i in range(5))
+    """Transposed, sentinel-masked window matrices (test/reference path).
+
+    Production dispatch uses :func:`_prep_v3_windows_packed` with buffers
+    packed once at upload; this variant packs inline."""
     rw, rn = _pack_words(reads2)
     pw, pn = _pack_words(panel_padded)
+    return _prep_v3_windows_packed(rw, rn, pw, pn, meta, bucket, band)
+
+
+def _prep_v3_windows_packed(rw, rn, pw, pn, meta, bucket: int, band: int):
+    """Window matrices for the v3 kernel from pre-packed word buffers."""
+    q_start, m, t_start, t_lo, t_hi = (meta[i] for i in range(5))
     qT = _gather_window_T(rw, rn, q_start, bucket)
     rows = jnp.arange(bucket, dtype=jnp.int32)[:, None]
     qT = jnp.where(rows < m[None, :], qT, jnp.int8(4))
@@ -239,18 +261,17 @@ def _prep_v3_windows(reads2, panel_padded, meta, bucket: int, band: int):
 
 
 #: The prep is jitted SEPARATELY from the Pallas kernel: the prep's
-#: signature contains the reads2 buffer (whose length varies by chunk-size
-#: class — a cheap XLA re-lower), while the kernel jit sees only the
-#: (bucket, P) window matrices whose shape classes are stable, so a new
+#: signature contains the packed read buffer (whose length varies by
+#: chunk-size class — a cheap XLA re-lower), while the kernel jit sees only
+#: the (bucket, P) window matrices whose shape classes are stable, so a new
 #: chunk size never triggers a 20-60 s Mosaic recompile.
-_prep_v3_windows_jit = functools.partial(
+_prep_v3_windows_packed_jit = functools.partial(
     jax.jit, static_argnames=("bucket", "band")
-)(_prep_v3_windows)
+)(_prep_v3_windows_packed)
 
 
 def window_score_v3_fwd(
-    reads2: jnp.ndarray,
-    panel_padded: jnp.ndarray,
+    data: DeviceData,
     meta: jnp.ndarray,  # (5, P) int32, rows per META_ROWS
     bucket: int,
     band: int,
@@ -260,15 +281,15 @@ def window_score_v3_fwd(
     """v3 forward pass: (P, 3) int32 [score, qe, te] in window coords."""
     from ..kernels.band_dp_v3 import band_dp_v3_fwd_jit
 
-    qT, tT = _prep_v3_windows_jit(
-        reads2, panel_padded, meta, bucket=bucket, band=band
+    rw, rn, pw, pn = data.packed
+    qT, tT = _prep_v3_windows_packed_jit(
+        rw, rn, pw, pn, meta, bucket=bucket, band=band
     )
     return band_dp_v3_fwd_jit(qT, tT, bucket, band, params, n_valid)
 
 
 def window_score_v3_rev(
-    reads2: jnp.ndarray,
-    panel_padded: jnp.ndarray,
+    data: DeviceData,
     meta: jnp.ndarray,  # (5, P): q_start, m'=qe+1, t_start, t_lo, t_hi'
     bucket: int,
     band: int,
@@ -278,8 +299,9 @@ def window_score_v3_rev(
     """v3 reverse pass on end-clamped windows: (P, 3) [score, qs, ts]."""
     from ..kernels.band_dp_v3 import band_dp_v3_rev_jit
 
-    qT, tT = _prep_v3_windows_jit(
-        reads2, panel_padded, meta, bucket=bucket, band=band
+    rw, rn, pw, pn = data.packed
+    qT, tT = _prep_v3_windows_packed_jit(
+        rw, rn, pw, pn, meta, bucket=bucket, band=band
     )
     return band_dp_v3_rev_jit(qT, tT, bucket, band, params, n_valid)
 

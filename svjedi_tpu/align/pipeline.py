@@ -307,8 +307,7 @@ def dispatch_chunk(
             eng = engine
             if eng == "v3":
                 out = dev.window_score_v3_fwd(
-                    device_data.reads2,
-                    device_data.panel_padded,
+                    device_data,
                     jnp.asarray(meta),
                     bucket=int(bucket),
                     band=B,
@@ -474,8 +473,7 @@ def dispatch_rev(
             disp.t_start[csub].astype(np.int64) + disp.te_win[csub] + 1,
         )
         out = dev.window_score_v3_rev(
-            disp.device_data.reads2,
-            disp.device_data.panel_padded,
+            disp.device_data,
             jnp.asarray(meta),
             bucket=int(bucket),
             band=cfg.band,
