@@ -306,6 +306,110 @@ def window_score_v3_rev(
     return band_dp_v3_rev_jit(qT, tT, bucket, band, params, n_valid)
 
 
+# ---- flat-metadata dispatch (production path) ----
+#
+# The TPU tunnel charges ~30-50 ms PER host→device transfer regardless of
+# size, and the per-batch dispatch path used two of them (the (5, Ppad)
+# meta matrix and the n_valid scalar). The flat path ships ONE int32 buffer
+# per dispatch round holding every batch's block ``[n_valid, meta(5*Ppad)]``
+# back to back; each batch's prep slices its block at a STATIC offset (the
+# block layout is deterministic, so offset variants are a handful of cheap
+# XLA re-lowers, while the Mosaic kernel jit still sees only stable
+# (bucket, P) shapes).
+
+
+def _prep_v3_flat(rw, rn, pw, pn, flat, off: int, Ppad: int,
+                  bucket: int, band: int):
+    grid = Ppad // 128
+    nvb = jax.lax.slice(flat, (off,), (off + 1 + grid,))
+    meta = jax.lax.slice(
+        flat, (off + 1 + grid,), (off + 1 + grid + 5 * Ppad,)
+    ).reshape(5, Ppad)
+    qT, tT = _prep_v3_windows_packed(rw, rn, pw, pn, meta, bucket, band)
+    return qT, tT, nvb
+
+
+_prep_v3_flat_jit = functools.partial(
+    jax.jit, static_argnames=("off", "Ppad", "bucket", "band")
+)(_prep_v3_flat)
+
+
+def flat_block_len(Ppad: int) -> int:
+    """Length of one flat block: [n_valid] ++ bounds ++ meta."""
+    return 1 + Ppad // 128 + 5 * Ppad
+
+
+def flat_meta_block(
+    meta: np.ndarray, n_valid: int, row_bounds: np.ndarray = None
+) -> np.ndarray:
+    """Host-side block for one batch: [n_valid] ++ row_bounds ++ meta.
+
+    ``row_bounds`` is the per-128-problem-group max window length (the
+    kernel's per-step row loop bound); when None every step runs all rows
+    (the m row of the meta is used as the bound source: max per group)."""
+    Ppad = meta.shape[1]
+    grid = Ppad // 128
+    if row_bounds is None:
+        row_bounds = meta[1].reshape(grid, 128).max(axis=1)
+    return np.concatenate(
+        [
+            np.array([n_valid], np.int32),
+            row_bounds.astype(np.int32),
+            meta.ravel().astype(np.int32),
+        ]
+    )
+
+
+def upload_flat_meta(blocks) -> "jnp.ndarray":
+    """Concatenate batch blocks and upload with ONE transfer.
+
+    The total length is padded to a power-of-two class so the flat buffer
+    re-lowers the prep jit only O(log) times across workloads."""
+    flat = np.concatenate(blocks) if blocks else np.zeros(1, np.int32)
+    cap = 1 << max(12, (len(flat) - 1).bit_length())
+    if cap != len(flat):
+        flat = np.concatenate([flat, np.zeros(cap - len(flat), np.int32)])
+    return jnp.asarray(flat)
+
+
+def window_score_v3_fwd_flat(
+    data: DeviceData,
+    flat: jnp.ndarray,
+    off: int,
+    Ppad: int,
+    bucket: int,
+    band: int,
+    params: DPParams,
+) -> jnp.ndarray:
+    """v3 forward pass reading its meta block from the flat buffer."""
+    from ..kernels.band_dp_v3 import band_dp_v3_fwd_jit
+
+    rw, rn, pw, pn = data.packed
+    qT, tT, nv = _prep_v3_flat_jit(
+        rw, rn, pw, pn, flat, off=off, Ppad=Ppad, bucket=bucket, band=band
+    )
+    return band_dp_v3_fwd_jit(qT, tT, bucket, band, params, nv)
+
+
+def window_score_v3_rev_flat(
+    data: DeviceData,
+    flat: jnp.ndarray,
+    off: int,
+    Ppad: int,
+    bucket: int,
+    band: int,
+    params: DPParams,
+) -> jnp.ndarray:
+    """v3 reverse pass reading its meta block from the flat buffer."""
+    from ..kernels.band_dp_v3 import band_dp_v3_rev_jit
+
+    rw, rn, pw, pn = data.packed
+    qT, tT, nv = _prep_v3_flat_jit(
+        rw, rn, pw, pn, flat, off=off, Ppad=Ppad, bucket=bucket, band=band
+    )
+    return band_dp_v3_rev_jit(qT, tT, bucket, band, params, nv)
+
+
 @functools.partial(
     jax.jit, static_argnames=("bucket", "band", "params", "engine")
 )

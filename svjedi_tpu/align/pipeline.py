@@ -289,43 +289,66 @@ def dispatch_chunk(
     disp.bucket_of_cand = np.zeros(len(cands), dtype=np.int64)
     disp.bucket_of_cand[order] = bucket_of
 
+    if engine == "v3":
+        # Flat-metadata dispatch: ONE host→device transfer carries every
+        # batch's [n_valid, meta] block (the tunnel charges ~40 ms per
+        # transfer regardless of size; the per-batch path paid two). Same-
+        # bucket batches merge up to 65536 problems per kernel call —
+        # padding-only grid steps are skipped by the kernel, so large pad
+        # classes cost prep-gather milliseconds, not DP volume.
+        plans = []
+        blocks = []
+        off = 0
+        for bucket in sorted(set(bucket_of.tolist())):
+            sel_all = order[bucket_of == bucket]
+            # Sort by window length: each 128-problem kernel step then runs
+            # only ceil(max m in step) rows (the per-step row bound) instead
+            # of the full bucket — m-homogeneous groups make the bound tight.
+            sel_all = sel_all[np.argsort(m[sel_all], kind="stable")]
+            for lo in range(0, len(sel_all), 65536):
+                sel = sel_all[lo : lo + 65536]
+                P = len(sel)
+                Ppad = _pad_class(P, 8192)
+                meta = np.zeros((5, Ppad), dtype=np.int32)
+                meta[0, :P] = q_start[sel]
+                meta[1, :P] = m32[sel]  # padding rows: m=0 → empty problems
+                meta[2, :P] = t_start[sel]
+                meta[3, :P] = t_lo[sel]
+                meta[4, :P] = t_hi[sel]
+                blocks.append(dev.flat_meta_block(meta, P))
+                plans.append((sel, off, Ppad, int(bucket)))
+                off += dev.flat_block_len(Ppad)
+        flat = dev.upload_flat_meta(blocks)
+        for sel, off_b, Ppad, bucket in plans:
+            out = dev.window_score_v3_fwd_flat(
+                device_data, flat, off_b, Ppad, bucket, band=B,
+                params=params,
+            )
+            disp.batches.append((sel, out, "v3", bucket))
+        return disp
+
     for bucket in sorted(set(bucket_of.tolist())):
         sel_all = order[bucket_of == bucket]
         for lo in range(0, len(sel_all), batch_size):
             sel = sel_all[lo : lo + batch_size]
             P = len(sel)
-            # The 8192 floor exists to bound Mosaic kernel compiles (each
-            # (bucket, Ppad) is one); the gather/dma engines skip no padded
-            # work, so they keep fine-grained classes.
-            Ppad = _pad_class(P, 8192 if engine == "v3" else 256)
+            Ppad = _pad_class(P, 256)
             meta = np.zeros((5, Ppad), dtype=np.int32)
             meta[0, :P] = q_start[sel]
             meta[1, :P] = m32[sel]  # padding rows get m=0 → empty problems
             meta[2, :P] = t_start[sel]
             meta[3, :P] = t_lo[sel]
             meta[4, :P] = t_hi[sel]
-            eng = engine
-            if eng == "v3":
-                out = dev.window_score_v3_fwd(
-                    device_data,
-                    jnp.asarray(meta),
-                    bucket=int(bucket),
-                    band=B,
-                    params=params,
-                    n_valid=P,
-                )
-            else:
-                out = dev.window_score_packed(
-                    device_data.reads2,
-                    device_data.panel_padded,
-                    jnp.asarray(meta),
-                    bucket=int(bucket),
-                    band=B,
-                    params=params,
-                    engine=eng,
-                )
-            disp.batches.append((sel, out, eng if eng == "v3" else "full",
-                                 int(bucket)))
+            out = dev.window_score_packed(
+                device_data.reads2,
+                device_data.panel_padded,
+                jnp.asarray(meta),
+                bucket=int(bucket),
+                band=B,
+                params=params,
+                engine=engine,
+            )
+            disp.batches.append((sel, out, "full", int(bucket)))
     return disp
 
 
@@ -457,7 +480,20 @@ def dispatch_rev(
     if len(need) == 0:
         return
     ci = win[need]
-    buckets = disp.bucket_of_cand[ci]
+    # Rebucket by the CLAMPED window length m' = qe+1 (the real aligned
+    # span), not the forward bucket: the reverse pass only needs
+    # [0, qe] x [.., te], and qe+1 is typically far below the forward
+    # window bucket, so most winners drop several bucket classes.
+    buckets = np.array(
+        [
+            _pick_bucket(int(v), cfg.buckets)
+            for v in disp.qe_win[ci] + 1
+        ],
+        dtype=np.int64,
+    )
+    plans = []
+    blocks = []
+    off = 0
     for bucket in sorted(set(buckets.tolist())):
         sub = need[buckets == bucket]
         csub = win[sub]
@@ -472,13 +508,22 @@ def dispatch_rev(
             disp.t_hi[csub],
             disp.t_start[csub].astype(np.int64) + disp.te_win[csub] + 1,
         )
-        out = dev.window_score_v3_rev(
-            disp.device_data,
-            jnp.asarray(meta),
-            bucket=int(bucket),
-            band=cfg.band,
+        # Reverse windows are FLIPPED in the kernel (valid rows at the
+        # end), so per-step row bounds cannot skip their sentinel prefix:
+        # run all rows (rebucketing above already shrank the window).
+        blocks.append(
+            dev.flat_meta_block(
+                meta, P,
+                row_bounds=np.full(Ppad // 128, bucket, np.int32),
+            )
+        )
+        plans.append((sub, csub, off, Ppad, int(bucket)))
+        off += dev.flat_block_len(Ppad)
+    flat = dev.upload_flat_meta(blocks)
+    for sub, csub, off_b, Ppad, bucket in plans:
+        out = dev.window_score_v3_rev_flat(
+            disp.device_data, flat, off_b, Ppad, bucket, band=cfg.band,
             params=params,
-            n_valid=P,
         )
         disp.rev_batches.append((sub, csub, out))
 

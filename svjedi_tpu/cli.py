@@ -39,6 +39,9 @@ def _add_run(sub):
                    help="allele error probability")
     p.add_argument("--no-artifacts", action="store_true",
                    help="skip writing intermediate artifacts")
+    p.add_argument("--gaf", action="store_true",
+                   help="also write <prefix>.gaf (minigraph-style records "
+                        "for the winning alignments; interop/debugging)")
     p.add_argument(
         "--shard", default=None, metavar="I/N",
         help="multi-host data parallelism: process read block I of N and "
@@ -132,6 +135,7 @@ def main(argv=None) -> int:
             dist=DistConfig(data_shards=max(1, args.threads)),
             shard=shard,
             keep_artifacts=not args.no_artifacts,
+            write_gaf=args.gaf,
             profile_dir=args.profile_dir,
         )
         result = run_pipeline(cfg)

@@ -61,10 +61,14 @@ def _kernel(n_valid_ref, qT_ref, tT_ref, score_ref, qe_ref, te_ref,
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (8, X), 1)
     k_idx = sub_i * 16 + lane_i // 128  # band offset of each flat cell
 
-    # Batches are padded to a tiny class set ({8192, 16384}); grid steps
-    # holding only padding (every problem has m=0) skip all work — their
-    # output rows are garbage the host never reads.
+    # Batches are padded to a tiny class set; grid steps holding only
+    # padding (every problem has m=0) skip all work — their output rows are
+    # garbage the host never reads. Prefetch layout: [n_valid] ++ per-step
+    # row bounds (max window length m of the step's 128 problems, rows
+    # beyond it are sentinel for the whole group when the host sorts
+    # problems by m; bucket when unknown).
     step_active = pl.program_id(0) * P_STEP < n_valid_ref[0]
+    row_bound = n_valid_ref[1 + pl.program_id(0)]
 
     if hbm:
         # Large-window mode: qT/tT stay in HBM (their per-step VMEM blocks
@@ -147,14 +151,15 @@ def _kernel(n_valid_ref, qT_ref, tT_ref, score_ref, qe_ref, te_ref,
         _kernel_body(
             qT_ref, tT_ref, score_ref, qe_ref, te_ref, scratch,
             band=band, bucket=bucket, params=params, interpret=interpret,
-            hbm=hbm, helpers=(spread, extract, band_shift_down,
-                              band_shift_up1, load_q, load_qt, load_t,
-                              load_t32 if hbm else None, k_idx, lane_i),
+            hbm=hbm, row_bound=row_bound,
+            helpers=(spread, extract, band_shift_down,
+                     band_shift_up1, load_q, load_qt, load_t,
+                     load_t32 if hbm else None, k_idx, lane_i),
         )
 
 
 def _kernel_body(qT_ref, tT_ref, score_ref, qe_ref, te_ref, scratch, *,
-                 band, bucket, params, interpret, hbm, helpers):
+                 band, bucket, params, interpret, hbm, row_bound, helpers):
     (spread, extract, band_shift_down, band_shift_up1, load_q, load_qt,
      load_t, load_t32, k_idx, lane_i) = helpers
     B = band
@@ -239,14 +244,16 @@ def _kernel_body(qT_ref, tT_ref, score_ref, qe_ref, te_ref, scratch, *,
             return carry
 
         (_, _, _, BEST, BQE) = jax.lax.fori_loop(
-            0, bucket // 32, super_fn, init
+            0, jnp.minimum((row_bound + 31) // 32, bucket // 32),
+            super_fn, init,
         )
     else:
         def group_fn(i8, carry):
             return process_group(i8, load_q(i8 * 8), load_t(i8 * 8 + B), carry)
 
         (_, _, _, BEST, BQE) = jax.lax.fori_loop(
-            0, bucket // 8, group_fn, init
+            0, jnp.minimum((row_bound + 7) // 8, bucket // 8),
+            group_fn, init,
         )
 
     # ---- per-problem reduction over the band (sublanes + lane chunks) ----
@@ -296,8 +303,19 @@ def band_dp_v3_fwd(
     :func:`band_dp_v3_rev` on the (much smaller) winner set.
     """
     P = qT.shape[1]
+    grid = P // P_STEP
+    # Prefetch vector: [n_valid] ++ per-step row bounds. Accepted forms:
+    # None / int / (1,) array (no bounds known → every step runs all
+    # ``bucket`` rows) or a (1 + grid,) array carrying real bounds.
     if n_valid is None:
         n_valid = P
+    nv = jnp.asarray(n_valid, jnp.int32).reshape(-1)
+    if nv.shape[0] == 1 + grid:
+        prefetch = nv
+    else:
+        prefetch = jnp.concatenate(
+            [nv[:1], jnp.full((grid,), bucket, jnp.int32)]
+        )
     assert P % P_STEP == 0 and band % 128 == 0 and bucket % 8 == 0
     assert bucket < (1 << 15) and bucket + band < (1 << 16)
     assert qT.shape == (bucket, P) and tT.shape == (bucket + band, P)
@@ -342,7 +360,7 @@ def band_dp_v3_fwd(
             jax.ShapeDtypeStruct((8, P), jnp.int32) for _ in range(3)
         ],
         interpret=interpret,
-    )(jnp.asarray(n_valid, jnp.int32).reshape(1), qT, tT)
+    )(prefetch, qT, tT)
     score, qe, te = (o[0] for o in outs)
     return jnp.stack([score, qe, te], axis=1)
 

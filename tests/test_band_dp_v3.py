@@ -77,3 +77,81 @@ def test_prep_v3_windows_matches_gather():
             4,
         ).astype(np.int8)
         np.testing.assert_array_equal(tT[:, p], ts, err_msg=f"t p={p}")
+
+
+def test_prep_v3_flat_matches_meta_path():
+    """Flat-buffer prep (static offset slices) == the (5, P) meta prep."""
+    import jax.numpy as jnp
+
+    from svjedi_tpu.align import device as dev
+
+    rng = np.random.default_rng(5)
+    L = 2048
+    reads2 = rng.integers(0, 4, L, dtype=np.int8)
+    panel = rng.integers(0, 4, L, dtype=np.int8)
+    rw, rn = dev._pack_words_jit(jnp.asarray(reads2))
+    pw, pn = dev._pack_words_jit(jnp.asarray(panel))
+    bucket, band = 128, 128
+
+    blocks, plans, off = [], [], 0
+    metas = []
+    for P, nv in ((128, 5), (256, 250)):
+        q_start = rng.integers(0, L - bucket - 1, P).astype(np.int32)
+        m = rng.integers(10, bucket + 1, P).astype(np.int32)
+        t_start = rng.integers(0, L - bucket - band - 1, P).astype(np.int32)
+        t_lo = np.maximum(t_start - 5, 0).astype(np.int32)
+        t_hi = np.minimum(t_start + 200, L).astype(np.int32)
+        meta = np.stack([q_start, m, t_start, t_lo, t_hi]).astype(np.int32)
+        metas.append(meta)
+        blocks.append(dev.flat_meta_block(meta, nv))
+        plans.append((off, P, nv))
+        off += dev.flat_block_len(P)
+    flat = dev.upload_flat_meta(blocks)
+
+    for (off_b, P, nv), meta in zip(plans, metas):
+        qT, tT, got_nvb = dev._prep_v3_flat_jit(
+            rw, rn, pw, pn, flat, off=off_b, Ppad=P, bucket=bucket,
+            band=band,
+        )
+        ref_qT, ref_tT = dev._prep_v3_windows_packed_jit(
+            rw, rn, pw, pn, jnp.asarray(meta), bucket=bucket, band=band
+        )
+        got_nvb = np.asarray(got_nvb)
+        assert int(got_nvb[0]) == nv
+        # default row bounds = per-128-group max window length
+        np.testing.assert_array_equal(
+            got_nvb[1:], meta[1].reshape(-1, 128).max(axis=1)
+        )
+        np.testing.assert_array_equal(np.asarray(qT), np.asarray(ref_qT))
+        np.testing.assert_array_equal(np.asarray(tT), np.asarray(ref_tT))
+
+
+def test_fwd_row_bounds_match_unbounded():
+    """Per-step row bounds (rows >= bound sentinel) == full-bucket run."""
+    import jax.numpy as jnp
+
+    from svjedi_tpu.align.extend import DPParams
+    from svjedi_tpu.kernels.band_dp_v3 import band_dp_v3_fwd
+
+    rng = np.random.default_rng(9)
+    bucket, band, P = 256, 128, 128
+    m = np.sort(rng.integers(32, bucket + 1, P)).astype(np.int32)
+    qT = rng.integers(0, 4, (bucket, P), dtype=np.int8)
+    tT = rng.integers(0, 4, (bucket + band, P), dtype=np.int8)
+    rows = np.arange(bucket)[:, None]
+    qT = np.where(rows < m[None, :], qT, 4).astype(np.int8)
+
+    full = band_dp_v3_fwd(
+        jnp.asarray(qT), jnp.asarray(tT), bucket, band, DPParams(),
+        n_valid=P, interpret=True,
+    )
+    nvb = jnp.asarray(
+        np.concatenate([[P], [int(m.max())]]).astype(np.int32)
+    )
+    bounded = band_dp_v3_fwd(
+        jnp.asarray(qT), jnp.asarray(tT), bucket, band, DPParams(),
+        n_valid=nvb, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(bounded), np.asarray(full))
+    # A tighter-than-max bound on the sentinel tail only is also exact:
+    # bound at the true max m (rows beyond are all-sentinel by masking).
