@@ -43,11 +43,21 @@ class DeviceData:
     panel_len: np.ndarray  # int64 per-path length (host)
     n_bases: int  # N (forward half length)
     pad: int
-    #: 2-bit-packed (words, nwords) of reads2 and panel_padded, computed
+    #: 2-bit-packed (words, rn, pw, pn) of reads2 and panel_padded, computed
     #: ONCE at upload: the v3 window prep needs packed buffers, and packing
     #: a ~100 MB chunk inside every per-batch prep jit re-did O(total bases)
     #: work per dispatch (fwd and rev) instead of per chunk.
     packed: tuple = None  # (rw, rn, pw, pn)
+
+    def packed_words(self) -> tuple:
+        """The (rw, rn, pw, pn) word buffers; raises if not built by upload()."""
+        if self.packed is None:
+            raise ValueError(
+                "DeviceData.packed is unset: construct DeviceData via "
+                "device.upload() (the v3 engine needs the 2-bit word "
+                "buffers packed at upload time)"
+            )
+        return self.packed
 
 
 @functools.partial(jax.jit, static_argnames=("n", "pad", "packed"))
@@ -281,7 +291,7 @@ def window_score_v3_fwd(
     """v3 forward pass: (P, 3) int32 [score, qe, te] in window coords."""
     from ..kernels.band_dp_v3 import band_dp_v3_fwd_jit
 
-    rw, rn, pw, pn = data.packed
+    rw, rn, pw, pn = data.packed_words()
     qT, tT = _prep_v3_windows_packed_jit(
         rw, rn, pw, pn, meta, bucket=bucket, band=band
     )
@@ -299,7 +309,7 @@ def window_score_v3_rev(
     """v3 reverse pass on end-clamped windows: (P, 3) [score, qs, ts]."""
     from ..kernels.band_dp_v3 import band_dp_v3_rev_jit
 
-    rw, rn, pw, pn = data.packed
+    rw, rn, pw, pn = data.packed_words()
     qT, tT = _prep_v3_windows_packed_jit(
         rw, rn, pw, pn, meta, bucket=bucket, band=band
     )
@@ -384,7 +394,7 @@ def window_score_v3_fwd_flat(
     """v3 forward pass reading its meta block from the flat buffer."""
     from ..kernels.band_dp_v3 import band_dp_v3_fwd_jit
 
-    rw, rn, pw, pn = data.packed
+    rw, rn, pw, pn = data.packed_words()
     qT, tT, nv = _prep_v3_flat_jit(
         rw, rn, pw, pn, flat, off=off, Ppad=Ppad, bucket=bucket, band=band
     )
@@ -403,7 +413,7 @@ def window_score_v3_rev_flat(
     """v3 reverse pass reading its meta block from the flat buffer."""
     from ..kernels.band_dp_v3 import band_dp_v3_rev_jit
 
-    rw, rn, pw, pn = data.packed
+    rw, rn, pw, pn = data.packed_words()
     qT, tT, nv = _prep_v3_flat_jit(
         rw, rn, pw, pn, flat, off=off, Ppad=Ppad, bucket=bucket, band=band
     )

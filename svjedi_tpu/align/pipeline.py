@@ -293,9 +293,9 @@ def dispatch_chunk(
         # Flat-metadata dispatch: ONE host→device transfer carries every
         # batch's [n_valid, meta] block (the tunnel charges ~40 ms per
         # transfer regardless of size; the per-batch path paid two). Same-
-        # bucket batches merge up to 65536 problems per kernel call —
-        # padding-only grid steps are skipped by the kernel, so large pad
-        # classes cost prep-gather milliseconds, not DP volume.
+        # bucket batches merge up to ``batch_size`` problems per kernel
+        # call — padding-only grid steps are skipped by the kernel, so
+        # large pad classes cost prep-gather milliseconds, not DP volume.
         plans = []
         blocks = []
         off = 0
@@ -305,8 +305,8 @@ def dispatch_chunk(
             # only ceil(max m in step) rows (the per-step row bound) instead
             # of the full bucket — m-homogeneous groups make the bound tight.
             sel_all = sel_all[np.argsort(m[sel_all], kind="stable")]
-            for lo in range(0, len(sel_all), 65536):
-                sel = sel_all[lo : lo + 65536]
+            for lo in range(0, len(sel_all), batch_size):
+                sel = sel_all[lo : lo + batch_size]
                 P = len(sel)
                 Ppad = _pad_class(P, 8192)
                 meta = np.zeros((5, Ppad), dtype=np.int32)
@@ -750,7 +750,8 @@ def align_and_count(
 
         t0 = time.perf_counter()
         cands = seed_candidates(
-            chunk, index, align_cfg.min_anchors, align_cfg.diag_bin
+            chunk, index, align_cfg.min_anchors, align_cfg.diag_bin,
+            threads=align_cfg.threads,
         )
         t1 = time.perf_counter()
         device_data = dev.upload(chunk.codes, panel, panel_cache)

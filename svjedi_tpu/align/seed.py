@@ -51,8 +51,13 @@ def seed_candidates(
     index: PanelIndex,
     min_anchors: int = 2,
     diag_bin: int = 128,
+    threads: int = 0,
 ) -> Candidates:
-    """Compute alignment candidates for every read against the panel."""
+    """Compute alignment candidates for every read against the panel.
+
+    ``threads`` bounds the native scan's thread count (0 = all hardware
+    threads); it is the working equivalent of the reference's ``-t``.
+    """
     rlen = reads.lengths
     native = load_native()
     if native is not None and hasattr(native._lib, "svt_seed"):
@@ -63,6 +68,7 @@ def seed_candidates(
             hit_path=index.hit_path, hit_pos=index.hit_pos,
             hit_strand=index.hit_strand,
             diag_bin=diag_bin, min_anchors=min_anchors,
+            n_threads=threads,
         )
         if res is not None:
             read, path, strand, d0, support = res
@@ -74,6 +80,7 @@ def seed_candidates(
         native.minimizers(
             reads.codes, reads.offsets, index.k, index.w,
             bitmap=index.hash_bitmap(), bitmap_log2=index.BITMAP_LOG2,
+            n_threads=threads,
         )
         if native is not None
         else None

@@ -28,8 +28,9 @@ def _add_run(sub):
     )
     p.add_argument("-p", "--prefix", required=True, help="Prefix of generated files")
     p.add_argument(
-        "-t", "--threads", type=int, default=1,
-        help="Kept for reference-flag parity; maps to data shards",
+        "-t", "--threads", type=int, default=0,
+        help="Host threads for native seeding scans (0 = all cores); "
+             "device parallelism scales via --shard / the device mesh",
     )
     p.add_argument(
         "-ms", "--minsupport", type=int, default=3,
@@ -49,6 +50,11 @@ def _add_run(sub):
     )
     p.add_argument("--profile-dir", default=None,
                    help="capture a JAX profiler trace into this directory")
+    p.add_argument(
+        "--resume", action="store_true",
+        help="skip stages whose artifacts already exist (the aligner is "
+             "skipped when <prefix>_informative_aln.json is present)",
+    )
 
 
 def _add_stage_parsers(sub):
@@ -118,7 +124,7 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     if args.command == "run":
-        from .config import DistConfig, GenotypeConfig, PipelineConfig
+        from .config import AlignConfig, GenotypeConfig, PipelineConfig
         from .pipeline import run_pipeline
 
         print("Constructing variation graph and panel...")
@@ -131,10 +137,11 @@ def main(argv=None) -> int:
             ref=args.ref,
             reads=tuple(args.reads.split(",")),
             prefix=args.prefix,
+            align=AlignConfig(threads=max(0, args.threads)),
             genotype=GenotypeConfig(min_support=args.minsupport, err=args.err),
-            dist=DistConfig(data_shards=max(1, args.threads)),
             shard=shard,
             keep_artifacts=not args.no_artifacts,
+            resume=args.resume,
             write_gaf=args.gaf,
             profile_dir=args.profile_dir,
         )

@@ -32,9 +32,6 @@ class AlignConfig:
     mismatch: int = -4
     gap_open: int = -4
     gap_extend: int = -2
-    #: Long-gap affine component (two-piece gap cost, minimap2 -O2/-E2 style).
-    gap_open2: int = -24
-    gap_extend2: int = -1
     #: DP band width in bases (lanes); multiple of 128.
     band: int = 128
     #: Minimum winning DP score for an alignment to be counted at all.
@@ -50,6 +47,10 @@ class AlignConfig:
     #: Caps on local path enumeration per cluster.
     max_paths_per_cluster: int = 64
     max_hops_per_path: int = 24
+
+    #: Host threads for native seeding/minimizer scans (``-t``; 0 = all
+    #: hardware threads, matching minigraph's ``-t`` at svjedi-graph.py:104).
+    threads: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
