@@ -184,6 +184,128 @@ def band_dp_batch(
     }
 
 
+@functools.partial(jax.jit, static_argnames=("band", "params"))
+def band_dp_stats_batch(
+    q: jnp.ndarray,  # (P, M) int8 read windows, padded with 4 (N)
+    t: jnp.ndarray,  # (P, M + band) int8 target windows, padded with 4
+    band: int,
+    params: DPParams = DPParams(),
+) -> Dict[str, jnp.ndarray]:
+    """Banded local alignment tracking exact-match statistics.
+
+    Same band semantics as :func:`band_dp_batch`, but instead of start
+    coordinates it carries, per cell, the number of exact base matches
+    (``matches``) and of diagonal steps (``n_diag``) along the optimal path
+    ending there. From the returned end coordinates these give the
+    GAF-faithful columns (filter-alignments.py:193-196 consumes col 10
+    matches, col 11 block length, and the ``id:f:`` identity):
+
+        block_len = qspan + tspan - n_diag   (M + X + I + D)
+        identity  = matches / block_len
+
+    Used by the audit pass on winning alignments only (re-scoring a clamped
+    window is cheap next to the candidate sweep); among equal-scoring
+    optimal paths the reported statistics are those of the path the DP tie-
+    breaking selects.
+    """
+    P, M = q.shape
+    B = band
+    oe = params.open_extend
+    ext = params.gap_extend
+
+    q32 = q.astype(jnp.int32)
+    t32 = t.astype(jnp.int32)
+
+    def row(state, i):
+        (H, V, mh, dh, mv, dv, best, bm, bd, bqe, bte) = state
+        trow = jax.lax.dynamic_slice_in_dim(t32, i, B, axis=1)
+        qi = jax.lax.dynamic_slice_in_dim(q32, i, 1, axis=1)
+        is_match = (qi == trow) & (qi < 4)
+        sub = jnp.where(is_match, params.match, params.mismatch)
+
+        # Vertical gap: parents at k+1; gap bases add no match/diag step.
+        H_up = _shift_left(H)
+        V_up = _shift_left(V)
+        mh_up = _shift_left(mh, 0)
+        dh_up = _shift_left(dh, 0)
+        mv_up = _shift_left(mv, 0)
+        dv_up = _shift_left(dv, 0)
+        v_open = H_up + oe
+        v_ext = V_up + ext
+        V_new = jnp.maximum(v_open, v_ext)
+        take_open = v_open >= v_ext
+        mv_new = jnp.where(take_open, mh_up, mv_up)
+        dv_new = jnp.where(take_open, dh_up, dv_up)
+
+        diag = H + sub
+        htmp = jnp.maximum(diag, V_new)
+        take_diag = diag >= V_new
+        m_t = jnp.where(take_diag, mh + is_match, mv_new)
+        d_t = jnp.where(take_diag, dh + 1, dv_new)
+        reset = htmp <= 0
+        htmp = jnp.maximum(htmp, 0)
+        m_t = jnp.where(reset, 0, m_t)
+        d_t = jnp.where(reset, 0, d_t)
+
+        # Horizontal gap runs (weighted prefix max; stats ride the shifts).
+        F = _shift_right(htmp, 1) + oe
+        fm = _shift_right(m_t, 1, 0)
+        fd = _shift_right(d_t, 1, 0)
+        s = 1
+        while s < B:
+            cand = _shift_right(F, s) + ext * s
+            cm = _shift_right(fm, s, 0)
+            cd = _shift_right(fd, s, 0)
+            take = cand > F
+            F = jnp.where(take, cand, F)
+            fm = jnp.where(take, cm, fm)
+            fd = jnp.where(take, cd, fd)
+            s <<= 1
+
+        take_f = F > htmp
+        H_new = jnp.where(take_f, F, htmp)
+        mh_new = jnp.where(take_f, fm, m_t)
+        dh_new = jnp.where(take_f, fd, d_t)
+
+        row_best = jnp.max(H_new, axis=1)
+        row_arg = jnp.argmax(H_new, axis=1).astype(jnp.int32)
+        improved = row_best > best
+        gather = lambda a: jnp.take_along_axis(a, row_arg[:, None], axis=1)[:, 0]
+        best = jnp.where(improved, row_best, best)
+        bm = jnp.where(improved, gather(mh_new), bm)
+        bd = jnp.where(improved, gather(dh_new), bd)
+        bqe = jnp.where(improved, i, bqe)
+        bte = jnp.where(improved, i + row_arg, bte)
+
+        return (
+            (H_new, V_new, mh_new, dh_new, mv_new, dv_new,
+             best, bm, bd, bqe, bte),
+            None,
+        )
+
+    zeros = jnp.zeros((P, B), jnp.int32)
+    init = (
+        zeros,
+        jnp.full((P, B), NEG, jnp.int32),
+        zeros, zeros, zeros, zeros,
+        jnp.zeros((P,), jnp.int32),
+        jnp.zeros((P,), jnp.int32),
+        jnp.zeros((P,), jnp.int32),
+        jnp.full((P,), -1, jnp.int32),
+        jnp.full((P,), -1, jnp.int32),
+    )
+    (H, V, mh, dh, mv, dv, best, bm, bd, bqe, bte), _ = jax.lax.scan(
+        row, init, jnp.arange(M)
+    )
+    return {
+        "score": best,
+        "matches": bm,
+        "n_diag": bd,
+        "qe": bqe,
+        "te": bte,
+    }
+
+
 def smith_waterman_full(
     q: np.ndarray, t: np.ndarray, params: DPParams = DPParams()
 ) -> Tuple[int, int, int, int, int]:

@@ -38,6 +38,12 @@ class Winners:
     qe: np.ndarray
     ts: np.ndarray
     te: np.ndarray
+    #: Audit statistics (filled by :func:`compute_winner_stats` when audit
+    #: collection is on): exact base matches and alignment block length
+    #: (M+X+I+D) of the winning alignment, and a mapping-quality estimate.
+    matches: Optional[np.ndarray] = None
+    blocklen: Optional[np.ndarray] = None
+    mapq: Optional[np.ndarray] = None
 
 
 def revcomp_codes(codes: np.ndarray) -> np.ndarray:
@@ -624,6 +630,106 @@ def count_support(
     return counts, audit
 
 
+def compute_winner_stats(
+    reads: ReadSet,
+    panel: Panel,
+    winners: Winners,
+    cfg: AlignConfig,
+) -> None:
+    """Fill ``winners.matches``/``blocklen`` by re-scoring winning spans.
+
+    The audit pass: each winner's alignment rectangle [qs..qe] x [ts..te]
+    is re-run through the stats-tracking banded DP (band doubled so the
+    re-centered band covers every diagonal the original band allowed),
+    yielding the exact-match count and block length the reference's GAF
+    consumers expect (filter-alignments.py:193-196). Winners are few
+    relative to candidates, so this costs a small fraction of the
+    candidate sweep; it runs only when audit collection is on.
+    """
+    import jax.numpy as jnp
+
+    from .extend import band_dp_stats_batch
+
+    n = len(winners.read)
+    winners.matches = np.zeros(n, dtype=np.int64)
+    winners.blocklen = np.zeros(n, dtype=np.int64)
+    if winners.mapq is None:
+        winners.mapq = np.full(n, 60, dtype=np.int64)
+    if n == 0:
+        return
+    B2 = 2 * cfg.band
+    params = DPParams(
+        match=cfg.match,
+        mismatch=cfg.mismatch,
+        gap_open=cfg.gap_open,
+        gap_extend=cfg.gap_extend,
+    )
+    qspan = (winners.qe - winners.qs + 1).astype(np.int64)
+    tspan = (winners.te - winners.ts + 1).astype(np.int64)
+    order = np.argsort(qspan, kind="stable")
+    bucket_of = np.array(
+        [_pick_bucket(int(v), cfg.buckets) for v in qspan[order]],
+        dtype=np.int64,
+    )
+    rc_cache: Dict[int, np.ndarray] = {}
+
+    def oriented_read(read_id: int, strand: int) -> np.ndarray:
+        if strand == 0:
+            return reads.seq(read_id)
+        if read_id not in rc_cache:
+            rc_cache[read_id] = revcomp_codes(reads.seq(read_id))
+        return rc_cache[read_id]
+
+    mismatched = 0
+    for bucket in sorted(set(bucket_of.tolist())):
+        sel = order[bucket_of == bucket]
+        for lo in range(0, len(sel), 4096):
+            chunk = sel[lo : lo + 4096]
+            P = len(chunk)
+            q = np.full((P, bucket), 4, dtype=np.int8)
+            t = np.full((P, bucket + B2), 4, dtype=np.int8)
+            for row, wi in enumerate(chunk):
+                a, b = int(winners.qs[wi]), int(winners.qe[wi]) + 1
+                window = oriented_read(
+                    int(winners.read[wi]), int(winners.strand[wi])
+                )[a:b]
+                q[row, : len(window)] = window
+                # Band centered on the start diagonal; target clamped to
+                # the winning span so the rectangle is exact.
+                seq = panel.paths[int(winners.path[wi])].seq
+                t_start = int(winners.ts[wi]) - B2 // 2
+                src_lo = max(int(winners.ts[wi]), t_start)
+                src_hi = min(int(winners.te[wi]) + 1, t_start + bucket + B2)
+                if src_hi > src_lo:
+                    t[row, src_lo - t_start : src_hi - t_start] = seq[
+                        src_lo:src_hi
+                    ]
+            out = band_dp_stats_batch(
+                jnp.asarray(q), jnp.asarray(t), B2, params
+            )
+            matches = np.asarray(out["matches"]).astype(np.int64)
+            n_diag = np.asarray(out["n_diag"]).astype(np.int64)
+            score = np.asarray(out["score"]).astype(np.int64)
+            winners.matches[chunk] = matches
+            winners.blocklen[chunk] = (
+                qspan[chunk] + tspan[chunk] - n_diag
+            )
+            # Re-scores may exceed the winning score (the doubled audit
+            # band can recover path segments the candidate band clipped;
+            # the stats then describe that better same-rectangle
+            # alignment). A LOWER re-score would break the superset
+            # invariant — that is the bug to warn about.
+            mismatched += int((score < winners.score[chunk]).sum())
+    if mismatched:  # pragma: no cover - invariant check
+        import sys
+
+        print(
+            f"[align] WARNING: {mismatched} audit re-scores fell below "
+            "the winning score (band-superset invariant breach)",
+            file=sys.stderr,
+        )
+
+
 def _audit_line(panel: Panel, w: Winners, reads: ReadSet, i: int) -> str:
     from ..graph.build import REV
 
@@ -640,6 +746,13 @@ def _audit_line(panel: Panel, w: Winners, reads: ReadSet, i: int) -> str:
     )
     ts_full = int(w.ts[i]) + path.trim_left
     te_full = int(w.te[i]) + path.trim_left
+    if w.matches is not None:
+        matches = int(w.matches[i])
+        blocklen = max(1, int(w.blocklen[i]))
+    else:  # stats pass skipped: degrade to span-derived bounds
+        matches = min(qe - qs + 1, te_full - ts_full + 1)
+        blocklen = max(qe - qs + 1, te_full - ts_full + 1)
+    mapq = int(w.mapq[i]) if w.mapq is not None else 60
     return "\t".join(
         [
             reads.names[read_id],
@@ -651,9 +764,10 @@ def _audit_line(panel: Panel, w: Winners, reads: ReadSet, i: int) -> str:
             str(path.full_len),
             str(ts_full),
             str(te_full + 1),
-            str(int(w.score[i])),
-            str(te_full - ts_full + 1),
-            "60",
+            str(matches),
+            str(blocklen),
+            str(mapq),
+            f"id:f:{matches / blocklen:.6f}",
         ]
     ) + "\t"
 
@@ -723,6 +837,8 @@ def align_and_count(
             pending, finalized, rev_rows_all
         ):
             patch_rev(align_cfg, disp, winners, rev_rows)
+            if collect_audit:
+                compute_winner_stats(chunk, panel, winners, align_cfg)
             chunk_counts, chunk_audit = count_support(
                 panel, winners, chunk, genotype_cfg.d_over, collect_audit
             )
@@ -780,6 +896,12 @@ def align_and_count(
                 )
             ]
         )
+        for f in ("matches", "blocklen", "mapq"):
+            if all(getattr(w, f) is not None for w in winner_parts):
+                setattr(
+                    merged, f,
+                    np.concatenate([getattr(w, f) for w in winner_parts]),
+                )
     else:
         empty = np.zeros(0, np.int64)
         merged = Winners(*([empty] * 9))
