@@ -10,6 +10,7 @@
 //
 // Build: make -C native   (produces libsvtfastio.so)
 
+#include <cmath>
 #include <zlib.h>
 
 #include <algorithm>
@@ -356,13 +357,17 @@ void* svt_minimizers2(const int8_t* codes, int64_t n_bases,
 }
 
 // ---------------------------------------------------------------------------
-// Full seeding: minimizers -> index lookup -> diagonal voting, one call.
+// Full seeding: minimizers -> index lookup -> chaining -> blocks, one call.
 //
 // Replicates svjedi_tpu/align/seed.py:seed_candidates exactly: anchors are
-// grouped by (read, path, strand), binned by diagonal, each bin's support
-// is its count plus the counts of adjacent bins of the same group, the
-// first maximal-support bin wins, and d0 is the middle element (in anchor
-// order) of the winning bin itself. Threaded over read ranges.
+// grouped by (read, path, strand) and sorted by (rpos, diag); greedy
+// chaining joins each anchor to the existing chain with the closest last
+// diagonal within the drift tolerance (abs + permille * rpos gap, gap <=
+// max_gap); the top max_chains chains with >= min_anchors anchors are cut
+// into block_rows-row read blocks whose d0 is the median anchor diagonal
+// of the block (interpolated where anchor-free); chains with >=
+// ext_min_anchors get one extension block per side. Chain ids are
+// per-read-local (the Python side globalizes). Threaded over read ranges.
 // ---------------------------------------------------------------------------
 
 namespace {
@@ -373,6 +378,9 @@ struct SeedResult {
   std::vector<int8_t> strand;
   std::vector<int32_t> d0;
   std::vector<int32_t> support;
+  std::vector<int32_t> chain;  // per-read-local chain id
+  std::vector<int32_t> q_lo;
+  std::vector<int32_t> q_hi;
 };
 
 struct SeedIndex {
@@ -384,19 +392,36 @@ struct SeedIndex {
   const int8_t* hit_strand;
 };
 
-void seed_reads(const int8_t* codes, const int64_t* offsets, int64_t r0,
-                int64_t r1, int32_t k, int32_t w, const uint8_t* bitmap,
-                uint32_t bitmap_mask, const SeedIndex& idx, int32_t diag_bin,
-                int32_t min_anchors, SeedResult* out) {
+struct ChainParams {
+  int32_t min_anchors;
+  int32_t max_chains;
+  int32_t max_gap;
+  int32_t drift_abs;
+  int32_t drift_permille;
+  int32_t block_rows;
+  int32_t ext_min_anchors;
+};
+
+void chain_reads(const int8_t* codes, const int64_t* offsets, int64_t r0,
+                 int64_t r1, int32_t k, int32_t w, const uint8_t* bitmap,
+                 uint32_t bitmap_mask, const SeedIndex& idx,
+                 const ChainParams& cp, SeedResult* out) {
   struct Anchor {
-    int64_t key;   // (path << 1 | strand) — group within the read
-    int64_t bin;
-    int32_t diag;
-    int32_t ord;   // original anchor order (stable tie-break + median)
+    int64_t key;  // (path << 1 | strand) — group within the read
+    int64_t rpos;
+    int64_t diag;
   };
   std::vector<Anchor> anchors;
   MinimizerResult mins;
-  const int64_t two30 = 1LL << 30;
+
+  struct Chain {
+    int64_t last_rpos, last_diag;
+    std::vector<int32_t> idx;  // indices into the group's anchor range
+  };
+  std::vector<Chain> chains;
+  std::vector<size_t> kept;
+  std::vector<int64_t> d0s;
+  std::vector<int64_t> med;
 
   for (int64_t r = r0; r < r1; ++r) {
     mins.read_id.clear();
@@ -418,65 +443,121 @@ void seed_reads(const int8_t* codes, const int64_t* offsets, int64_t r0,
         const int64_t rpos_eff =
             strand == 0 ? (int64_t)mins.pos[i]
                         : rlen - k - (int64_t)mins.pos[i];
-        const int32_t diag = (int32_t)(idx.hit_pos[j] - rpos_eff);
         anchors.push_back({((int64_t)idx.hit_path[j] << 1) | strand,
-                           (diag + two30) / diag_bin, diag,
-                           (int32_t)anchors.size()});
+                           rpos_eff, idx.hit_pos[j] - rpos_eff});
       }
     }
     if (anchors.empty()) continue;
     std::sort(anchors.begin(), anchors.end(),
               [](const Anchor& a, const Anchor& b) {
                 if (a.key != b.key) return a.key < b.key;
-                if (a.bin != b.bin) return a.bin < b.bin;
-                return a.ord < b.ord;
+                if (a.rpos != b.rpos) return a.rpos < b.rpos;
+                return a.diag < b.diag;
               });
-    //
 
-    // Segment walk: one segment per (key, bin).
+    int32_t chain_counter = 0;  // per-read-local
     size_t n = anchors.size();
     size_t s = 0;
     while (s < n) {
       const int64_t key = anchors[s].key;
-      // Collect this group's segments.
       size_t g_end = s;
       while (g_end < n && anchors[g_end].key == key) ++g_end;
-      // Find modal segment: support = count + adjacent-bin counts.
-      int64_t best_support = -1;
-      size_t best_s = s, best_e = s;
-      size_t a = s;
-      while (a < g_end) {
-        size_t e = a;
-        while (e < g_end && anchors[e].bin == anchors[a].bin) ++e;
-        int64_t support = (int64_t)(e - a);
-        // left neighbor segment
-        if (a > s) {
-          size_t pl = a;  // find start of previous segment
-          size_t pstart = a;
-          while (pstart > s && anchors[pstart - 1].bin == anchors[a - 1].bin)
-            --pstart;
-          if (anchors[a - 1].bin == anchors[a].bin - 1)
-            support += (int64_t)(pl - pstart);
+
+      // ---- greedy chaining (== seed.py _chain_group) ----
+      chains.clear();
+      for (size_t a = s; a < g_end; ++a) {
+        const int64_t rp = anchors[a].rpos, dg = anchors[a].diag;
+        int best_j = -1;
+        int64_t best_dd = 0;
+        for (size_t j = 0; j < chains.size(); ++j) {
+          const int64_t gap = rp - chains[j].last_rpos;
+          if (gap > cp.max_gap) continue;
+          const int64_t dd = std::llabs(dg - chains[j].last_diag);
+          if (dd > cp.drift_abs + ((int64_t)cp.drift_permille * gap) / 1000)
+            continue;
+          if (best_j < 0 || dd < best_dd) {
+            best_dd = dd;
+            best_j = (int)j;
+          }
         }
-        if (e < g_end && anchors[e].bin == anchors[a].bin + 1) {
-          size_t ne = e;
-          while (ne < g_end && anchors[ne].bin == anchors[e].bin) ++ne;
-          support += (int64_t)(ne - e);
+        if (best_j >= 0) {
+          chains[best_j].last_rpos = rp;
+          chains[best_j].last_diag = dg;
+          chains[best_j].idx.push_back((int32_t)(a - s));
+        } else {
+          chains.push_back({rp, dg, {(int32_t)(a - s)}});
         }
-        if (support > best_support) {
-          best_support = support;
-          best_s = a;
-          best_e = e;
-        }
-        a = e;
       }
-      if (best_support >= min_anchors) {
-        const Anchor& med = anchors[best_s + (best_e - 1 - best_s) / 2];
-        out->read.push_back((int32_t)r);
-        out->path.push_back((int32_t)(key >> 1));
-        out->strand.push_back((int8_t)(key & 1));
-        out->d0.push_back(med.diag);
-        out->support.push_back((int32_t)best_support);
+
+      // ---- keep top max_chains by count (stable: creation order) ----
+      kept.clear();
+      for (size_t j = 0; j < chains.size(); ++j)
+        if ((int32_t)chains[j].idx.size() >= cp.min_anchors)
+          kept.push_back(j);
+      std::stable_sort(kept.begin(), kept.end(), [&](size_t a, size_t b) {
+        return chains[a].idx.size() > chains[b].idx.size();
+      });
+      if ((int32_t)kept.size() > cp.max_chains) kept.resize(cp.max_chains);
+
+      // ---- blocks per chain (== seed.py _blocks_for_chain) ----
+      const int64_t R = cp.block_rows;
+      const int64_t kMissing = INT64_MIN;
+      for (size_t kj : kept) {
+        const Chain& ch = chains[kj];
+        const int64_t q_first = anchors[s + ch.idx.front()].rpos;
+        const int64_t q_last = anchors[s + ch.idx.back()].rpos;
+        const int64_t b_first = q_first / R, b_last = q_last / R;
+        const int64_t b_max = std::max<int64_t>(0, (rlen - 1) / R);
+        int64_t b0 = b_first, b1 = b_last;
+        if ((int32_t)ch.idx.size() >= cp.ext_min_anchors) {
+          b0 = std::max<int64_t>(0, b0 - 1);
+          b1 = std::min(b_max, b1 + 1);
+        }
+        const int64_t n_blocks = b1 - b0 + 1;
+        d0s.assign(n_blocks, kMissing);
+        for (int64_t bi = b_first; bi <= b_last; ++bi) {
+          med.clear();
+          for (int32_t ai : ch.idx) {
+            const int64_t rp = anchors[s + ai].rpos;
+            if (rp >= bi * R && rp < (bi + 1) * R)
+              med.push_back(anchors[s + ai].diag);
+          }
+          if (!med.empty()) {
+            std::sort(med.begin(), med.end());
+            d0s[bi - b0] = med[(med.size() - 1) / 2];
+          }
+        }
+        for (int64_t bi = 0; bi < n_blocks; ++bi) {
+          if (d0s[bi] != kMissing) continue;
+          int64_t left = -1, right = -1;
+          for (int64_t j = bi - 1; j >= 0; --j)
+            if (d0s[j] != kMissing) { left = j; break; }
+          for (int64_t j = bi + 1; j < n_blocks; ++j)
+            if (d0s[j] != kMissing) { right = j; break; }
+          if (left >= 0 && right >= 0) {
+            const double v =
+                (double)d0s[left] +
+                (double)(d0s[right] - d0s[left]) * (double)(bi - left) /
+                    (double)(right - left);
+            d0s[bi] = (int64_t)std::llround(v);
+          } else if (left >= 0) {
+            d0s[bi] = d0s[left];
+          } else {
+            d0s[bi] = d0s[right];
+          }
+        }
+        for (int64_t bi = 0; bi < n_blocks; ++bi) {
+          const int64_t b = b0 + bi;
+          out->read.push_back((int32_t)r);
+          out->path.push_back((int32_t)(key >> 1));
+          out->strand.push_back((int8_t)(key & 1));
+          out->d0.push_back((int32_t)d0s[bi]);
+          out->support.push_back((int32_t)ch.idx.size());
+          out->chain.push_back(chain_counter);
+          out->q_lo.push_back((int32_t)(b * R));
+          out->q_hi.push_back((int32_t)std::min((b + 1) * R, rlen));
+        }
+        ++chain_counter;
       }
       s = g_end;
     }
@@ -485,27 +566,34 @@ void seed_reads(const int8_t* codes, const int64_t* offsets, int64_t r0,
 
 }  // namespace
 
-void* svt_seed(const int8_t* codes, int64_t n_bases, const int64_t* offsets,
-               int64_t n_reads, int32_t k, int32_t w, const uint8_t* bitmap,
-               int32_t bitmap_log2, const uint32_t* uniq_hash, int64_t n_uniq,
-               const int64_t* hit_start, const int32_t* hit_path,
-               const int32_t* hit_pos, const int8_t* hit_strand,
-               int32_t diag_bin, int32_t min_anchors, int32_t n_threads) {
+void* svt_chain(const int8_t* codes, int64_t n_bases,
+                const int64_t* offsets, int64_t n_reads, int32_t k,
+                int32_t w, const uint8_t* bitmap, int32_t bitmap_log2,
+                const uint32_t* uniq_hash, int64_t n_uniq,
+                const int64_t* hit_start, const int32_t* hit_path,
+                const int32_t* hit_pos, const int8_t* hit_strand,
+                int32_t min_anchors, int32_t max_chains, int32_t max_gap,
+                int32_t drift_abs, int32_t drift_permille,
+                int32_t block_rows, int32_t ext_min_anchors,
+                int32_t n_threads) {
   (void)n_bases;
   auto* result = new SeedResult();
-  if (k <= 0 || k > 15 || w <= 0 || n_reads <= 0) return result;
+  if (k <= 0 || k > 15 || w <= 0 || n_reads <= 0 || block_rows <= 0)
+    return result;
   const uint32_t bitmap_mask =
       bitmap ? ((bitmap_log2 >= 32) ? 0xFFFFFFFFu
                                     : ((1u << bitmap_log2) - 1))
              : 0;
   SeedIndex idx{uniq_hash, n_uniq, hit_start, hit_path, hit_pos, hit_strand};
+  ChainParams cp{min_anchors, max_chains,  max_gap,       drift_abs,
+                 drift_permille, block_rows, ext_min_anchors};
   int T = n_threads > 0 ? n_threads
                         : (int)std::thread::hardware_concurrency();
   if (T < 1) T = 1;
   if ((int64_t)T > n_reads) T = (int)n_reads;
   if (T == 1) {
-    seed_reads(codes, offsets, 0, n_reads, k, w, bitmap, bitmap_mask, idx,
-               diag_bin, min_anchors, result);
+    chain_reads(codes, offsets, 0, n_reads, k, w, bitmap, bitmap_mask, idx,
+                cp, result);
     return result;
   }
   const int64_t total = offsets[n_reads] - offsets[0];
@@ -522,8 +610,8 @@ void* svt_seed(const int8_t* codes, int64_t n_bases, const int64_t* offsets,
   threads.reserve(T);
   for (int t = 0; t < T; ++t) {
     threads.emplace_back([&, t]() {
-      seed_reads(codes, offsets, bounds[t], bounds[t + 1], k, w, bitmap,
-                 bitmap_mask, idx, diag_bin, min_anchors, &parts[t]);
+      chain_reads(codes, offsets, bounds[t], bounds[t + 1], k, w, bitmap,
+                  bitmap_mask, idx, cp, &parts[t]);
     });
   }
   for (auto& th : threads) th.join();
@@ -534,6 +622,9 @@ void* svt_seed(const int8_t* codes, int64_t n_bases, const int64_t* offsets,
   result->strand.reserve(n);
   result->d0.reserve(n);
   result->support.reserve(n);
+  result->chain.reserve(n);
+  result->q_lo.reserve(n);
+  result->q_hi.reserve(n);
   for (const auto& p : parts) {
     result->read.insert(result->read.end(), p.read.begin(), p.read.end());
     result->path.insert(result->path.end(), p.path.begin(), p.path.end());
@@ -542,6 +633,10 @@ void* svt_seed(const int8_t* codes, int64_t n_bases, const int64_t* offsets,
     result->d0.insert(result->d0.end(), p.d0.begin(), p.d0.end());
     result->support.insert(result->support.end(), p.support.begin(),
                            p.support.end());
+    result->chain.insert(result->chain.end(), p.chain.begin(),
+                         p.chain.end());
+    result->q_lo.insert(result->q_lo.end(), p.q_lo.begin(), p.q_lo.end());
+    result->q_hi.insert(result->q_hi.end(), p.q_hi.begin(), p.q_hi.end());
   }
   return result;
 }
@@ -550,8 +645,9 @@ int64_t svt_seed_count(void* handle) {
   return (int64_t) static_cast<SeedResult*>(handle)->read.size();
 }
 
-void svt_seed_copy(void* handle, int32_t* read, int32_t* path, int8_t* strand,
-                   int32_t* d0, int32_t* support) {
+void svt_chain_copy(void* handle, int32_t* read, int32_t* path,
+                    int8_t* strand, int32_t* d0, int32_t* support,
+                    int32_t* chain, int32_t* q_lo, int32_t* q_hi) {
   auto* r = static_cast<SeedResult*>(handle);
   const size_t n = r->read.size();
   if (n == 0) return;
@@ -560,6 +656,9 @@ void svt_seed_copy(void* handle, int32_t* read, int32_t* path, int8_t* strand,
   memcpy(strand, r->strand.data(), n * sizeof(int8_t));
   memcpy(d0, r->d0.data(), n * sizeof(int32_t));
   memcpy(support, r->support.data(), n * sizeof(int32_t));
+  memcpy(chain, r->chain.data(), n * sizeof(int32_t));
+  memcpy(q_lo, r->q_lo.data(), n * sizeof(int32_t));
+  memcpy(q_hi, r->q_hi.data(), n * sizeof(int32_t));
 }
 
 void svt_seed_free(void* handle) { delete static_cast<SeedResult*>(handle); }

@@ -20,7 +20,7 @@ from ..graph.cluster import Panel
 from ..io.fastq import ReadSet
 from .extend import DPParams, band_dp_batch
 from .index import PanelIndex
-from .seed import Candidates, seed_candidates
+from .seed import Candidates, ChainParams, seed_candidates
 
 
 @dataclass
@@ -66,10 +66,12 @@ def candidate_windows(
     cands: Candidates,
     cfg: AlignConfig,
 ):
-    """Per-candidate read-window bounds + junction-reachability prune.
+    """Per-block read-window bounds + junction-reachability prune.
 
     Returns (rw_start, rw_end, m, keep): the oriented-read window [rw_start,
-    rw_end) each candidate aligns from, its length m, and the keep mask.
+    rw_end) each chain block aligns from (the block's [q_lo, q_hi) clipped
+    to where the path is reachable around the block diagonal), its length
+    m, and the keep mask.
 
     The prune: a (read, cluster) whose target coverage cannot put d_over
     bases on both sides of any junction of any of its paths can never
@@ -82,10 +84,23 @@ def candidate_windows(
     rlen = reads.lengths
     path_len = index.path_len[cands.path]
     cand_rlen = rlen[cands.read]
-    rw_start = np.clip(-cands.d0.astype(np.int64) - B // 2 - slack, 0, cand_rlen)
-    rw_end = np.clip(
-        path_len.astype(np.int64) - cands.d0 + B // 2 + slack, 0, cand_rlen
+    rw_start = np.clip(
+        np.maximum(
+            cands.q_lo.astype(np.int64),
+            -cands.d0.astype(np.int64) - B // 2 - slack,
+        ),
+        0,
+        cand_rlen,
     )
+    rw_end = np.clip(
+        np.minimum(
+            cands.q_hi.astype(np.int64),
+            path_len.astype(np.int64) - cands.d0 + B // 2 + slack,
+        ),
+        0,
+        cand_rlen,
+    )
+    rw_end = np.maximum(rw_end, rw_start)
     m = (rw_end - rw_start).astype(np.int64)
     keep = m >= index.k
 
@@ -226,6 +241,10 @@ class ChunkDispatch:
     rev_batches: List[Tuple[np.ndarray, np.ndarray, object]] = field(
         default_factory=list
     )
+    #: per-block forward scores (set by finalize_chunk; the reverse-pass
+    #: invariant check compares against the first block's own score, not
+    #: the chain sum)
+    block_score: Optional[np.ndarray] = None
 
 
 def dispatch_chunk(
@@ -393,11 +412,15 @@ def finalize_chunk(
     disp: ChunkDispatch,
     host_rows: Sequence[np.ndarray],
 ) -> Tuple[Winners, np.ndarray]:
-    """Winner-per-(read, cluster) reduction from fetched batch results.
+    """Chain aggregation + winner-per-(read, cluster) reduction.
 
-    Returns (winners, win): ``win`` maps winner rows to candidate indices
-    (needed by the v3 reverse pass). For candidates scored by the v3
-    forward pass, qs/ts are left as -1 until :func:`patch_rev`.
+    Block results are aggregated per chain: the chain score is the sum of
+    its blocks scoring >= ``min_score`` (a per-block noise floor — a random
+    1536x128 window peaks around ~25, so summing unfloored blocks would
+    manufacture chain scores), the chain end comes from its last scoring
+    block, and the start from the reverse pass on the FIRST scoring block
+    (returned via ``win``). For chains scored by the v3 forward pass,
+    qs/ts are left as -1 until :func:`patch_rev`.
     """
     cands = disp.cands
     B = cfg.band
@@ -431,30 +454,50 @@ def finalize_chunk(
             out_ts[sel] = res[:, 2] + t_starts
             out_te[sel] = res[:, 4] + t_starts
 
-    # ---- winner per (read, cluster) ----
-    cluster = index.path_cluster[cands.path].astype(np.int64)
-    ok = out_score >= cfg.min_score
-    idx = np.flatnonzero(ok)
-    if len(idx) == 0:
-        return Winners(*([empty] * 9)), empty
-    key = cands.read[idx].astype(np.int64) * (cluster.max() + 1) + cluster[idx]
-    order2 = np.lexsort((-out_score[idx], key))
-    idx = idx[order2]
-    key = key[order2]
-    first = np.ones(len(idx), dtype=bool)
-    first[1:] = key[1:] != key[:-1]
-    win = idx[first]
+    disp.block_score = out_score
 
+    # ---- aggregate blocks into chains ----
+    uniq_chain, inv = np.unique(cands.chain, return_inverse=True)
+    n_chains = len(uniq_chain)
+    good = out_score >= cfg.min_score
+    good_idx = np.flatnonzero(good)
+    if len(good_idx) == 0:
+        return Winners(*([empty] * 9)), empty
+    chain_score = np.zeros(n_chains, dtype=np.int64)
+    np.add.at(chain_score, inv[good_idx], out_score[good_idx])
+    first_blk = np.full(n_chains, n, dtype=np.int64)
+    np.minimum.at(first_blk, inv[good_idx], good_idx)
+    last_blk = np.full(n_chains, -1, dtype=np.int64)
+    np.maximum.at(last_blk, inv[good_idx], good_idx)
+    alive = np.flatnonzero((chain_score >= cfg.min_score) & (last_blk >= 0))
+    if len(alive) == 0:
+        return Winners(*([empty] * 9)), empty
+
+    # ---- winner per (read, cluster) among alive chains ----
+    rep = first_blk[alive]  # representative block per chain
+    cluster_all = index.path_cluster[cands.path].astype(np.int64)
+    key = (
+        cands.read[rep].astype(np.int64) * (cluster_all.max() + 1)
+        + cluster_all[rep]
+    )
+    order2 = np.lexsort((-chain_score[alive], key))
+    key = key[order2]
+    first = np.ones(len(order2), dtype=bool)
+    first[1:] = key[1:] != key[:-1]
+    win_chain = alive[order2[first]]
+
+    win = first_blk[win_chain]
+    last = last_blk[win_chain]
     return Winners(
         read=cands.read[win].astype(np.int64),
-        cluster=cluster[win],
+        cluster=cluster_all[win],
         path=cands.path[win].astype(np.int64),
         strand=cands.strand[win].astype(np.int64),
-        score=out_score[win],
+        score=chain_score[win_chain],
         qs=out_qs[win],
-        qe=out_qe[win],
+        qe=out_qe[last],
         ts=out_ts[win],
-        te=out_te[win],
+        te=out_te[last],
     ), win
 
 
@@ -552,7 +595,7 @@ def patch_rev(
         )
         winners.qs[sub] = res[:, 1] + disp.rw_start[csub]
         winners.ts[sub] = res[:, 2] + t_starts
-        bad = res[:, 0] != winners.score[sub]
+        bad = res[:, 0] != disp.block_score[csub]
         if bad.any():  # pragma: no cover - invariant check
             import sys
 
@@ -639,12 +682,16 @@ def compute_winner_stats(
     """Fill ``winners.matches``/``blocklen`` by re-scoring winning spans.
 
     The audit pass: each winner's alignment rectangle [qs..qe] x [ts..te]
-    is re-run through the stats-tracking banded DP (band doubled so the
-    re-centered band covers every diagonal the original band allowed),
-    yielding the exact-match count and block length the reference's GAF
-    consumers expect (filter-alignments.py:193-196). Winners are few
-    relative to candidates, so this costs a small fraction of the
-    candidate sweep; it runs only when audit collection is on.
+    is split into <= ``block_rows``-row pieces whose target windows follow
+    the linearly-interpolated span diagonal (winning spans come from chain
+    blocks, so their diagonal drifts with the read's indel bias — a single
+    fixed-diagonal rectangle would clip long alignments), and each piece is
+    re-run through the stats-tracking banded DP (band doubled to absorb
+    residual drift). Summed piece stats give the exact-match count and
+    block length the reference's GAF consumers expect
+    (filter-alignments.py:193-196). Winners are few relative to
+    candidates, so this costs a small fraction of the candidate sweep; it
+    runs only when audit collection is on.
     """
     import jax.numpy as jnp
 
@@ -658,6 +705,7 @@ def compute_winner_stats(
     if n == 0:
         return
     B2 = 2 * cfg.band
+    PIECE = cfg.block_rows
     params = DPParams(
         match=cfg.match,
         mismatch=cfg.mismatch,
@@ -666,9 +714,31 @@ def compute_winner_stats(
     )
     qspan = (winners.qe - winners.qs + 1).astype(np.int64)
     tspan = (winners.te - winners.ts + 1).astype(np.int64)
-    order = np.argsort(qspan, kind="stable")
+
+    # Piece table: (winner, piece q window [a, b), t window start).
+    p_win, p_a, p_b, p_t0 = [], [], [], []
+    for wi in range(n):
+        qs, qe = int(winners.qs[wi]), int(winners.qe[wi])
+        ts = int(winners.ts[wi])
+        span = qe - qs + 1
+        if span <= 0:
+            continue
+        for a in range(qs, qe + 1, PIECE):
+            b = min(a + PIECE, qe + 1)
+            t_a = ts + round((a - qs) * int(tspan[wi]) / span)
+            p_win.append(wi)
+            p_a.append(a)
+            p_b.append(b)
+            p_t0.append(t_a - B2 // 2)
+    p_win = np.asarray(p_win, np.int64)
+    p_a = np.asarray(p_a, np.int64)
+    p_b = np.asarray(p_b, np.int64)
+    p_t0 = np.asarray(p_t0, np.int64)
+    p_m = p_b - p_a
+
+    order = np.argsort(p_m, kind="stable")
     bucket_of = np.array(
-        [_pick_bucket(int(v), cfg.buckets) for v in qspan[order]],
+        [_pick_bucket(int(v), cfg.buckets) for v in p_m[order]],
         dtype=np.int64,
     )
     rc_cache: Dict[int, np.ndarray] = {}
@@ -680,7 +750,8 @@ def compute_winner_stats(
             rc_cache[read_id] = revcomp_codes(reads.seq(read_id))
         return rc_cache[read_id]
 
-    mismatched = 0
+    score_sum = np.zeros(n, dtype=np.int64)
+    n_diag_sum = np.zeros(n, dtype=np.int64)
     for bucket in sorted(set(bucket_of.tolist())):
         sel = order[bucket_of == bucket]
         for lo in range(0, len(sel), 4096):
@@ -688,18 +759,23 @@ def compute_winner_stats(
             P = len(chunk)
             q = np.full((P, bucket), 4, dtype=np.int8)
             t = np.full((P, bucket + B2), 4, dtype=np.int8)
-            for row, wi in enumerate(chunk):
-                a, b = int(winners.qs[wi]), int(winners.qe[wi]) + 1
+            for row, pi in enumerate(chunk):
+                wi = int(p_win[pi])
+                a, b = int(p_a[pi]), int(p_b[pi])
                 window = oriented_read(
                     int(winners.read[wi]), int(winners.strand[wi])
                 )[a:b]
                 q[row, : len(window)] = window
-                # Band centered on the start diagonal; target clamped to
-                # the winning span so the rectangle is exact.
+                # Target clamped to the winning span so the rectangle
+                # union stays exact.
                 seq = panel.paths[int(winners.path[wi])].seq
-                t_start = int(winners.ts[wi]) - B2 // 2
-                src_lo = max(int(winners.ts[wi]), t_start)
-                src_hi = min(int(winners.te[wi]) + 1, t_start + bucket + B2)
+                t_start = int(p_t0[pi])
+                src_lo = max(int(winners.ts[wi]), t_start, 0)
+                src_hi = min(
+                    int(winners.te[wi]) + 1,
+                    t_start + bucket + B2,
+                    len(seq),
+                )
                 if src_hi > src_lo:
                     t[row, src_lo - t_start : src_hi - t_start] = seq[
                         src_lo:src_hi
@@ -710,22 +786,21 @@ def compute_winner_stats(
             matches = np.asarray(out["matches"]).astype(np.int64)
             n_diag = np.asarray(out["n_diag"]).astype(np.int64)
             score = np.asarray(out["score"]).astype(np.int64)
-            winners.matches[chunk] = matches
-            winners.blocklen[chunk] = (
-                qspan[chunk] + tspan[chunk] - n_diag
-            )
-            # Re-scores may exceed the winning score (the doubled audit
-            # band can recover path segments the candidate band clipped;
-            # the stats then describe that better same-rectangle
-            # alignment). A LOWER re-score would break the superset
-            # invariant — that is the bug to warn about.
-            mismatched += int((score < winners.score[chunk]).sum())
+            np.add.at(winners.matches, p_win[chunk], matches)
+            np.add.at(n_diag_sum, p_win[chunk], n_diag)
+            np.add.at(score_sum, p_win[chunk], score)
+    winners.blocklen[:] = np.maximum(qspan + tspan - n_diag_sum, 1)
+    # Piece re-scores can deviate from the chain score in both directions
+    # (piece cuts lose alignment continuity; the doubled band recovers
+    # clipped segments); warn only when the sum falls far below.
+    slack = 64 * np.maximum(1, (qspan + PIECE - 1) // PIECE)
+    mismatched = int((score_sum + slack < winners.score).sum())
     if mismatched:  # pragma: no cover - invariant check
         import sys
 
         print(
-            f"[align] WARNING: {mismatched} audit re-scores fell below "
-            "the winning score (band-superset invariant breach)",
+            f"[align] WARNING: {mismatched} audit re-scores fell well "
+            "below the winning chain score",
             file=sys.stderr,
         )
 
@@ -782,6 +857,7 @@ def align_and_count(
     timings: Optional[Dict[str, float]] = None,
     chunk_reads: int = 16384,
     batch_size: int = 32768,
+    decoy=None,
 ):
     """Full aligner stage: reads + panel → (counts, audit, winners).
 
@@ -865,10 +941,37 @@ def align_and_count(
         chunk = reads.slice(start, stop)
 
         t0 = time.perf_counter()
+        chain_params = ChainParams(
+            min_anchors=align_cfg.min_anchors,
+            max_chains=align_cfg.max_chains,
+            max_gap=align_cfg.chain_max_gap,
+            drift_abs=align_cfg.chain_drift_abs,
+            drift_permille=align_cfg.chain_drift_permille,
+            block_rows=align_cfg.block_rows,
+            ext_min_anchors=align_cfg.chain_ext_min_anchors,
+        )
         cands = seed_candidates(
-            chunk, index, align_cfg.min_anchors, align_cfg.diag_bin,
+            chunk, index, chain_params=chain_params,
             threads=align_cfg.threads,
         )
+        if decoy is not None and len(cands):
+            from .decoy import suppress_candidates
+
+            keep = suppress_candidates(
+                chunk, cands, index, decoy, chain_params,
+                threads=align_cfg.threads,
+            )
+            if not keep.all():
+                cands = Candidates(
+                    read=cands.read[keep],
+                    path=cands.path[keep],
+                    strand=cands.strand[keep],
+                    d0=cands.d0[keep],
+                    n_anchors=cands.n_anchors[keep],
+                    chain=cands.chain[keep],
+                    q_lo=cands.q_lo[keep],
+                    q_hi=cands.q_hi[keep],
+                )
         t1 = time.perf_counter()
         device_data = dev.upload(chunk.codes, panel, panel_cache)
         disp = dispatch_chunk(

@@ -1,15 +1,33 @@
-"""Seeding: read minimizers → panel anchors → per-(read,path,strand) candidates.
+"""Seeding: read minimizers → panel anchors → chained block candidates.
 
-A candidate is a (read, panel path, strand) pair with an estimated diagonal
-``d0`` (path position minus read position) derived from the modal diagonal
-bin of its anchors — the "rough chaining" that positions the banded DP. All
-steps are flat array ops over every read at once.
+The reference's aligner (minigraph, invoked at svjedi-graph.py:104) chains
+minimizer anchors and base-aligns along the chain, so the DP band follows
+the read's indel drift. A fixed-diagonal band cannot: at ~10% long-read
+error the alignment drifts hundreds of bases off any single diagonal over
+a few kb, and a 128-wide band silently truncates it. This module therefore
+emits **chain blocks**:
+
+1. anchors per (read, path, strand) are chained greedily with a drift
+   tolerance (``chain_drift_abs + chain_drift_permille/1000 * gap``);
+2. the top ``max_chains`` chains (by anchor count, >= ``min_anchors``)
+   survive;
+3. each chain is cut into ``block_rows``-row read blocks; every block is an
+   independent fixed-shape DP problem whose diagonal ``d0`` is the median
+   anchor diagonal of the block (interpolated for anchor-free interior
+   blocks, edge-extended for the extension blocks) — the piecewise-banded
+   equivalent of aligning along the chain, with the Pallas kernel unchanged.
+
+Block results are re-aggregated per chain by align/pipeline.py (score sum,
+span union) before winner selection.
+
+The native path (``svt_chain`` in native/fastio.cpp) implements the same
+algorithm in threaded C++; the numpy+Python fallback here is the semantics
+reference (tests compare the two).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List
 
 import numpy as np
 
@@ -21,16 +39,38 @@ from .minimizer import extract_minimizers_flat
 
 @dataclass
 class Candidates:
-    """Flat candidate arrays (one row per (read, path, strand) candidate)."""
+    """Flat chain-block arrays (one row per DP problem)."""
 
     read: np.ndarray  # int32
     path: np.ndarray  # int32
     strand: np.ndarray  # int8 (0: read fwd vs path; 1: revcomp read vs path)
-    d0: np.ndarray  # int32 modal diagonal (path_pos - read_pos, strand-adjusted)
-    n_anchors: np.ndarray  # int32 anchors in the modal bin neighborhood
+    d0: np.ndarray  # int32 block diagonal (path_pos - read_pos)
+    n_anchors: np.ndarray  # int32 anchors of the whole chain
+    chain: np.ndarray = None  # int64 global chain id (blocks contiguous)
+    q_lo: np.ndarray = None  # int32 block read-window start (oriented read)
+    q_hi: np.ndarray = None  # int32 block read-window end (exclusive)
+
+    def __post_init__(self):
+        if self.chain is None:
+            self.chain = np.arange(len(self.read), dtype=np.int64)
+        if self.q_lo is None:
+            self.q_lo = np.zeros(len(self.read), dtype=np.int32)
+        if self.q_hi is None:
+            self.q_hi = np.full(len(self.read), 1 << 30, dtype=np.int32)
 
     def __len__(self) -> int:
         return len(self.read)
+
+
+@dataclass(frozen=True)
+class ChainParams:
+    min_anchors: int = 2
+    max_chains: int = 4
+    max_gap: int = 4096
+    drift_abs: int = 64
+    drift_permille: int = 150
+    block_rows: int = 1536
+    ext_min_anchors: int = 4
 
 
 def _expand_ranges(start: np.ndarray, end: np.ndarray):
@@ -39,42 +79,115 @@ def _expand_ranges(start: np.ndarray, end: np.ndarray):
     total = int(counts.sum())
     if total == 0:
         return np.zeros(0, np.int64), counts
-    # within-group offsets: arange(total) - prefix repeated
     prefix = np.zeros(len(counts), dtype=np.int64)
     np.cumsum(counts[:-1], out=prefix[1:])
     flat = np.arange(total, dtype=np.int64) - np.repeat(prefix, counts)
     return np.repeat(start.astype(np.int64), counts) + flat, counts
 
 
+def _chain_group(rpos: np.ndarray, diag: np.ndarray, cp: ChainParams):
+    """Chain one (read, path, strand) group's anchors.
+
+    Anchors must be sorted by (rpos, diag). Returns a list of chains, each
+    a list of anchor indices into the group arrays, in creation order.
+    """
+    chains = []  # [last_rpos, last_diag, [indices]]
+    for i in range(len(rpos)):
+        r, d = int(rpos[i]), int(diag[i])
+        best_j = -1
+        best_dd = None
+        for j, ch in enumerate(chains):
+            gap = r - ch[0]
+            if gap > cp.max_gap:
+                continue
+            dd = abs(d - ch[1])
+            if dd > cp.drift_abs + (cp.drift_permille * gap) // 1000:
+                continue
+            if best_dd is None or dd < best_dd:
+                best_dd = dd
+                best_j = j
+        if best_j >= 0:
+            ch = chains[best_j]
+            ch[0], ch[1] = r, d
+            ch[2].append(i)
+        else:
+            chains.append([r, d, [i]])
+    return [ch[2] for ch in chains]
+
+
+def _blocks_for_chain(
+    rpos: np.ndarray, diag: np.ndarray, idx, rlen: int, cp: ChainParams
+):
+    """Cut one chain into (q_lo, q_hi, d0) blocks (see module docstring)."""
+    R = cp.block_rows
+    rs = rpos[idx]
+    ds = diag[idx]
+    b_first = int(rs[0]) // R
+    b_last = int(rs[-1]) // R
+    b_max = max(0, (rlen - 1) // R)
+    b0, b1 = b_first, b_last
+    if len(idx) >= cp.ext_min_anchors:
+        b0, b1 = max(0, b0 - 1), min(b_max, b1 + 1)
+    n_blocks = b1 - b0 + 1
+    d0s = np.full(n_blocks, np.iinfo(np.int64).min, dtype=np.int64)
+    for bi in range(b_first, b_last + 1):
+        lo, hi = np.searchsorted(rs, [bi * R, (bi + 1) * R])
+        if hi > lo:
+            sub = np.sort(ds[lo:hi])
+            d0s[bi - b0] = sub[(len(sub) - 1) // 2]
+    # Interpolate anchor-free interior blocks; edge-extend the rest.
+    known = np.flatnonzero(d0s != np.iinfo(np.int64).min)
+    for bi in range(n_blocks):
+        if d0s[bi] != np.iinfo(np.int64).min:
+            continue
+        left = known[known < bi]
+        right = known[known > bi]
+        if len(left) and len(right):
+            a, b = int(left[-1]), int(right[0])
+            v = d0s[a] + (d0s[b] - d0s[a]) * (bi - a) / (b - a)
+            # round half away from zero == C++ llround (native parity)
+            d0s[bi] = int(np.sign(v) * np.floor(np.abs(v) + 0.5))
+        elif len(left):
+            d0s[bi] = d0s[int(left[-1])]
+        else:
+            d0s[bi] = d0s[int(right[0])]
+    out = []
+    for bi in range(n_blocks):
+        b = b0 + bi
+        out.append((b * R, min((b + 1) * R, rlen), int(d0s[bi])))
+    return out
+
+
 def seed_candidates(
     reads: ReadSet,
     index: PanelIndex,
-    min_anchors: int = 2,
-    diag_bin: int = 128,
+    chain_params: ChainParams = ChainParams(),
     threads: int = 0,
 ) -> Candidates:
-    """Compute alignment candidates for every read against the panel.
+    """Compute chain-block alignment candidates for every read.
 
     ``threads`` bounds the native scan's thread count (0 = all hardware
     threads); it is the working equivalent of the reference's ``-t``.
     """
+    cp = chain_params
     rlen = reads.lengths
     native = load_native()
-    if native is not None and hasattr(native._lib, "svt_seed"):
-        res = native.seed(
+    if native is not None and hasattr(native._lib, "svt_chain"):
+        res = native.chain(
             reads.codes, reads.offsets, index.k, index.w,
             bitmap=index.hash_bitmap(), bitmap_log2=index.BITMAP_LOG2,
             uniq_hash=index.uniq_hash, hit_start=index.hit_start,
             hit_path=index.hit_path, hit_pos=index.hit_pos,
             hit_strand=index.hit_strand,
-            diag_bin=diag_bin, min_anchors=min_anchors,
-            n_threads=threads,
+            params=cp, n_threads=threads,
         )
         if res is not None:
-            read, path, strand, d0, support = res
+            read, path, strand, d0, support, chain_local, q_lo, q_hi = res
             return Candidates(
                 read=read, path=path, strand=strand, d0=d0,
                 n_anchors=support,
+                chain=_globalize_chains(read, chain_local),
+                q_lo=q_lo, q_hi=q_hi,
             )
     native_result = (
         native.minimizers(
@@ -94,8 +207,7 @@ def seed_candidates(
         q_read, q_pos = flat.read_id, flat.pos
         q_hash, q_strand = flat.hash, flat.strand
     if len(q_pos) == 0:
-        z = np.zeros(0, np.int32)
-        return Candidates(z, z, z.astype(np.int8), z, z)
+        return _empty_candidates()
 
     start, end = index.lookup(q_hash)
     hit_idx, counts = _expand_ranges(start, end)
@@ -115,82 +227,82 @@ def seed_candidates(
     diag = (a_tpos - rpos_eff).astype(np.int64)
 
     if len(diag) == 0:
-        z = np.zeros(0, np.int32)
-        return Candidates(z, z, z.astype(np.int8), z, z)
+        return _empty_candidates()
 
-    # Group key: (read, path, strand); sub-key: diagonal bin.
     n_paths = int(index.path_cluster.shape[0])
     group = (a_read.astype(np.int64) * n_paths + a_path) * 2 + strand
-    bins = (diag + (1 << 30)) // diag_bin  # shift to keep bins positive
-
-    order = np.lexsort((bins, group))
+    order = np.lexsort((diag, rpos_eff, group))
     group_s = group[order]
-    bins_s = bins[order]
+    rpos_s = rpos_eff[order].astype(np.int64)
     diag_s = diag[order]
 
-    # Count anchors per (group, bin).
-    pair_change = np.empty(len(group_s), dtype=bool)
-    pair_change[0] = True
-    np.not_equal(group_s[1:], group_s[:-1], out=pair_change[1:])
-    bin_change = np.empty(len(group_s), dtype=bool)
-    bin_change[0] = True
-    np.not_equal(bins_s[1:], bins_s[:-1], out=bin_change[1:])
-    seg_start = np.flatnonzero(pair_change | bin_change)
-    seg_end = np.append(seg_start[1:], len(group_s))
-    seg_group = group_s[seg_start]
-    seg_bin = bins_s[seg_start]
-    seg_count = seg_end - seg_start
-
-    # Neighborhood support: this bin + adjacent bins of the same group.
-    support = seg_count.copy()
-    left_adj = (
-        (np.arange(len(seg_start)) > 0)
-        & (seg_group == np.roll(seg_group, 1))
-        & (seg_bin == np.roll(seg_bin, 1) + 1)
-    )
-    right_adj = (
-        (np.arange(len(seg_start)) < len(seg_start) - 1)
-        & (seg_group == np.roll(seg_group, -1))
-        & (seg_bin == np.roll(seg_bin, -1) - 1)
-    )
-    support = (
-        seg_count
-        + np.where(left_adj, np.roll(seg_count, 1), 0)
-        + np.where(right_adj, np.roll(seg_count, -1), 0)
-    )
-
-    # Modal bin per group = the segment with max support.
-    grp_change = np.empty(len(seg_group), dtype=bool)
+    grp_change = np.empty(len(group_s), dtype=bool)
     grp_change[0] = True
-    np.not_equal(seg_group[1:], seg_group[:-1], out=grp_change[1:])
-    grp_ids = np.cumsum(grp_change) - 1
-    n_groups = int(grp_ids[-1]) + 1
-    best_support = np.zeros(n_groups, dtype=np.int64)
-    np.maximum.at(best_support, grp_ids, support)
-    is_modal = support == best_support[grp_ids]
-    # First modal segment per group wins.
-    modal_idx = np.flatnonzero(is_modal)
-    first_modal = np.full(n_groups, len(seg_group), dtype=np.int64)
-    np.minimum.at(first_modal, grp_ids[modal_idx], modal_idx)
+    np.not_equal(group_s[1:], group_s[:-1], out=grp_change[1:])
+    starts = np.flatnonzero(grp_change)
+    ends = np.append(starts[1:], len(group_s))
 
-    sel = first_modal
-    kept = best_support >= min_anchors
-    sel = sel[kept]
+    rows_read, rows_path, rows_strand = [], [], []
+    rows_d0, rows_support, rows_chain = [], [], []
+    rows_qlo, rows_qhi = [], []
+    chain_counter = 0
+    for s, e in zip(starts, ends):
+        g = int(group_s[s])
+        g_strand = g % 2
+        g_path = (g // 2) % n_paths
+        g_read = g // (2 * n_paths)
+        rp = rpos_s[s:e]
+        dg = diag_s[s:e]
+        chains = _chain_group(rp, dg, cp)
+        kept = [c for c in chains if len(c) >= cp.min_anchors]
+        # Top max_chains by anchor count; stable order = creation order.
+        kept.sort(key=len, reverse=True)
+        kept = kept[: cp.max_chains]
+        for idx in kept:
+            blocks = _blocks_for_chain(
+                rp, dg, np.asarray(idx), int(rlen[g_read]), cp
+            )
+            for q_lo, q_hi, d0 in blocks:
+                rows_read.append(g_read)
+                rows_path.append(g_path)
+                rows_strand.append(g_strand)
+                rows_d0.append(d0)
+                rows_support.append(len(idx))
+                rows_chain.append(chain_counter)
+                rows_qlo.append(q_lo)
+                rows_qhi.append(q_hi)
+            chain_counter += 1
 
-    # d0 = median diagonal of the modal segment (its own bin only: adjacent
-    # bins shift the center by at most diag_bin, absorbed by the DP band).
-    med_idx = (seg_start[sel] + seg_end[sel] - 1) // 2
-    d0 = diag_s[med_idx]
-
-    group_sel = seg_group[sel]
-    strand_out = (group_sel % 2).astype(np.int8)
-    path_out = ((group_sel // 2) % n_paths).astype(np.int32)
-    read_out = (group_sel // (2 * n_paths)).astype(np.int32)
-
+    if not rows_read:
+        return _empty_candidates()
     return Candidates(
-        read=read_out,
-        path=path_out,
-        strand=strand_out,
-        d0=d0.astype(np.int32),
-        n_anchors=best_support[kept].astype(np.int32),
+        read=np.asarray(rows_read, np.int32),
+        path=np.asarray(rows_path, np.int32),
+        strand=np.asarray(rows_strand, np.int8),
+        d0=np.asarray(rows_d0, np.int32),
+        n_anchors=np.asarray(rows_support, np.int32),
+        chain=np.asarray(rows_chain, np.int64),
+        q_lo=np.asarray(rows_qlo, np.int32),
+        q_hi=np.asarray(rows_qhi, np.int32),
     )
+
+
+def _empty_candidates() -> Candidates:
+    z = np.zeros(0, np.int32)
+    return Candidates(
+        z, z, z.astype(np.int8), z, z,
+        chain=np.zeros(0, np.int64), q_lo=z, q_hi=z,
+    )
+
+
+def _globalize_chains(read: np.ndarray, chain_local: np.ndarray) -> np.ndarray:
+    """Remap per-read-local chain ids (native output) to global ids.
+
+    Rows of one chain are contiguous; a new global id starts wherever
+    (read, local) changes."""
+    if len(read) == 0:
+        return np.zeros(0, np.int64)
+    change = np.empty(len(read), dtype=bool)
+    change[0] = True
+    change[1:] = (read[1:] != read[:-1]) | (chain_local[1:] != chain_local[:-1])
+    return np.cumsum(change) - 1

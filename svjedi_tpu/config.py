@@ -22,10 +22,35 @@ class AlignConfig:
     window: int = 10
     #: Drop minimizers occurring more often than this in the panel index.
     max_hits_per_minimizer: int = 64
-    #: Minimum anchors on one diagonal band for a (read, cluster) candidate.
+    #: Minimum anchors for a chain to become a (read, path, strand) candidate.
     min_anchors: int = 2
-    #: Diagonal rounding used when voting anchors into bands (bases).
+    #: Diagonal rounding legacy knob (kept for the dist demo path).
     diag_bin: int = 64
+
+    # Anchor chaining (the drift-following replacement for diagonal binning:
+    # a 10%-error 8 kb read drifts ~300 bases off its seed diagonal, far
+    # beyond the DP band, so one fixed-diagonal window truncates the
+    # alignment; chains follow the drift and are cut into per-block DP
+    # problems with per-block diagonals).
+    #: Max chains kept per (read, path, strand), by anchor count.
+    max_chains: int = 4
+    #: Max read-coordinate gap between consecutive anchors of a chain.
+    chain_max_gap: int = 4096
+    #: Diagonal drift tolerance between consecutive anchors: abs + rate*gap.
+    chain_drift_abs: int = 64
+    #: Drift rate tolerance in permille of the read-coordinate gap.
+    chain_drift_permille: int = 150
+    #: Read rows per chain block (one DP problem per block); the block's
+    #: internal drift must stay within band/2 of the block-median diagonal.
+    block_rows: int = 1536
+    #: Chains with at least this many anchors get one extension block on
+    #: each side (alignment can extend past the outermost anchors).
+    chain_ext_min_anchors: int = 4
+
+    #: Whole-genome decoy competition: suppress a panel chain whose read
+    #: interval is better explained by a chain elsewhere in the genome
+    #: (minigraph's whole-graph primary selection; align/decoy.py).
+    decoy: bool = True
 
     # Banded affine-gap DP (scores in the minimap2 convention).
     match: int = 2

@@ -126,6 +126,18 @@ def run_pipeline(cfg: PipelineConfig) -> Dict:
     stats.set("n_panel_paths", panel.n_paths)
     stats.set("panel_bases", panel.total_bases())
 
+    decoy = None
+    if cfg.align.decoy:
+        from .align.decoy import build_decoy
+
+        with stats.timer("build_decoy"):
+            decoy = build_decoy(
+                panel,
+                k=cfg.align.kmer,
+                w=cfg.align.window,
+                max_hits_per_minimizer=cfg.align.max_hits_per_minimizer,
+            )
+
     with stats.timer("load_reads"):
         reads = read_reads(cfg.reads)
         if cfg.shard is not None:
@@ -144,7 +156,7 @@ def run_pipeline(cfg: PipelineConfig) -> Dict:
         jax.profiler.start_trace(str(cfg.profile_dir))
     with stats.timer("align"):
         counts, audit, winners = align_and_count(
-            reads, panel, index, cfg.align, cfg.genotype
+            reads, panel, index, cfg.align, cfg.genotype, decoy=decoy
         )
     if profiling:
         import jax

@@ -28,9 +28,9 @@ class _NativeIO:
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
                 ctypes.c_int32, ctypes.c_int32,
             ]
-            if hasattr(lib, "svt_seed"):
-                lib.svt_seed.restype = ctypes.c_void_p
-                lib.svt_seed.argtypes = [
+            if hasattr(lib, "svt_chain"):
+                lib.svt_chain.restype = ctypes.c_void_p
+                lib.svt_chain.argtypes = [
                     ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
                     ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
                     ctypes.c_int32, ctypes.c_int32,
@@ -41,15 +41,20 @@ class _NativeIO:
                     ctypes.POINTER(ctypes.c_int32),
                     ctypes.POINTER(ctypes.c_int8),
                     ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                    ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                    ctypes.c_int32, ctypes.c_int32,
                 ]
                 lib.svt_seed_count.restype = ctypes.c_int64
                 lib.svt_seed_count.argtypes = [ctypes.c_void_p]
-                lib.svt_seed_copy.restype = None
-                lib.svt_seed_copy.argtypes = [
+                lib.svt_chain_copy.restype = None
+                lib.svt_chain_copy.argtypes = [
                     ctypes.c_void_p,
                     ctypes.POINTER(ctypes.c_int32),
                     ctypes.POINTER(ctypes.c_int32),
                     ctypes.POINTER(ctypes.c_int8),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
                     ctypes.POINTER(ctypes.c_int32),
                     ctypes.POINTER(ctypes.c_int32),
                 ]
@@ -160,7 +165,7 @@ class _NativeIO:
         finally:
             lib.svt_minimizers_free(handle)
 
-    def seed(
+    def chain(
         self,
         codes: np.ndarray,
         offsets: np.ndarray,
@@ -173,18 +178,18 @@ class _NativeIO:
         hit_path: np.ndarray,
         hit_pos: np.ndarray,
         hit_strand: np.ndarray,
-        diag_bin: int,
-        min_anchors: int,
+        params,
         n_threads: int = 0,
     ):
-        """Full native seeding (minimizers -> lookup -> diagonal voting).
+        """Full native seeding (minimizers -> lookup -> chaining -> blocks).
 
-        Returns (read, path, strand, d0, support) candidate arrays with the
+        ``params`` is an align.seed.ChainParams. Returns (read, path,
+        strand, d0, support, chain_local, q_lo, q_hi) block arrays with the
         same ordering/semantics as the numpy seed_candidates stage, or None
-        when the library predates svt_seed.
+        when the library predates svt_chain.
         """
         lib = self._lib
-        if not hasattr(lib, "svt_seed"):
+        if not hasattr(lib, "svt_chain"):
             return None
         codes = np.ascontiguousarray(codes, dtype=np.int8)
         offsets = np.ascontiguousarray(offsets, dtype=np.int64)
@@ -193,7 +198,7 @@ class _NativeIO:
         hit_path = np.ascontiguousarray(hit_path, dtype=np.int32)
         hit_pos = np.ascontiguousarray(hit_pos, dtype=np.int32)
         hit_strand = np.ascontiguousarray(hit_strand, dtype=np.int8)
-        handle = lib.svt_seed(
+        handle = lib.svt_chain(
             codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
             ctypes.c_int64(len(codes)),
             offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -208,8 +213,13 @@ class _NativeIO:
             hit_path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             hit_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             hit_strand.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
-            ctypes.c_int32(diag_bin),
-            ctypes.c_int32(min_anchors),
+            ctypes.c_int32(params.min_anchors),
+            ctypes.c_int32(params.max_chains),
+            ctypes.c_int32(params.max_gap),
+            ctypes.c_int32(params.drift_abs),
+            ctypes.c_int32(params.drift_permille),
+            ctypes.c_int32(params.block_rows),
+            ctypes.c_int32(params.ext_min_anchors),
             ctypes.c_int32(n_threads),
         )
         if not handle:
@@ -221,16 +231,24 @@ class _NativeIO:
             strand = np.empty(n, dtype=np.int8)
             d0 = np.empty(n, dtype=np.int32)
             support = np.empty(n, dtype=np.int32)
+            chain_local = np.empty(n, dtype=np.int32)
+            q_lo = np.empty(n, dtype=np.int32)
+            q_hi = np.empty(n, dtype=np.int32)
             if n:
-                lib.svt_seed_copy(
+                lib.svt_chain_copy(
                     handle,
                     read.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                     path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                     strand.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
                     d0.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                     support.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    chain_local.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_int32)
+                    ),
+                    q_lo.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    q_hi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 )
-            return read, path, strand, d0, support
+            return read, path, strand, d0, support, chain_local, q_lo, q_hi
         finally:
             lib.svt_seed_free(handle)
 
