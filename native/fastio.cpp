@@ -381,6 +381,8 @@ struct SeedResult {
   std::vector<int32_t> chain;  // per-read-local chain id
   std::vector<int32_t> q_lo;
   std::vector<int32_t> q_hi;
+  std::vector<int32_t> a_lo;  // chain anchor extent (oriented read coords)
+  std::vector<int32_t> a_hi;
 };
 
 struct SeedIndex {
@@ -556,6 +558,8 @@ void chain_reads(const int8_t* codes, const int64_t* offsets, int64_t r0,
           out->chain.push_back(chain_counter);
           out->q_lo.push_back((int32_t)(b * R));
           out->q_hi.push_back((int32_t)std::min((b + 1) * R, rlen));
+          out->a_lo.push_back((int32_t)q_first);
+          out->a_hi.push_back((int32_t)std::min(q_last + k, rlen));
         }
         ++chain_counter;
       }
@@ -625,6 +629,8 @@ void* svt_chain(const int8_t* codes, int64_t n_bases,
   result->chain.reserve(n);
   result->q_lo.reserve(n);
   result->q_hi.reserve(n);
+  result->a_lo.reserve(n);
+  result->a_hi.reserve(n);
   for (const auto& p : parts) {
     result->read.insert(result->read.end(), p.read.begin(), p.read.end());
     result->path.insert(result->path.end(), p.path.begin(), p.path.end());
@@ -637,6 +643,8 @@ void* svt_chain(const int8_t* codes, int64_t n_bases,
                          p.chain.end());
     result->q_lo.insert(result->q_lo.end(), p.q_lo.begin(), p.q_lo.end());
     result->q_hi.insert(result->q_hi.end(), p.q_hi.begin(), p.q_hi.end());
+    result->a_lo.insert(result->a_lo.end(), p.a_lo.begin(), p.a_lo.end());
+    result->a_hi.insert(result->a_hi.end(), p.a_hi.begin(), p.a_hi.end());
   }
   return result;
 }
@@ -647,7 +655,8 @@ int64_t svt_seed_count(void* handle) {
 
 void svt_chain_copy(void* handle, int32_t* read, int32_t* path,
                     int8_t* strand, int32_t* d0, int32_t* support,
-                    int32_t* chain, int32_t* q_lo, int32_t* q_hi) {
+                    int32_t* chain, int32_t* q_lo, int32_t* q_hi,
+                    int32_t* a_lo, int32_t* a_hi) {
   auto* r = static_cast<SeedResult*>(handle);
   const size_t n = r->read.size();
   if (n == 0) return;
@@ -659,6 +668,8 @@ void svt_chain_copy(void* handle, int32_t* read, int32_t* path,
   memcpy(chain, r->chain.data(), n * sizeof(int32_t));
   memcpy(q_lo, r->q_lo.data(), n * sizeof(int32_t));
   memcpy(q_hi, r->q_hi.data(), n * sizeof(int32_t));
+  memcpy(a_lo, r->a_lo.data(), n * sizeof(int32_t));
+  memcpy(a_hi, r->a_hi.data(), n * sizeof(int32_t));
 }
 
 void svt_seed_free(void* handle) { delete static_cast<SeedResult*>(handle); }

@@ -44,7 +44,7 @@ class Decoy:
     #: cluster id -> {chrom: (lo, hi)} genomic span of its panel paths
     cluster_spans: List[Dict[str, Tuple[int, int]]]
     overlap_frac: float = 0.5
-    margin: int = 2000
+    margin: int = 500
 
 
 def build_decoy(
@@ -98,18 +98,39 @@ def build_decoy(
         path_last_j=np.zeros(n_paths, dtype=np.int32),
     )
 
+    # Genomic span per cluster from the TRIMMED path sequences: panel paths
+    # keep only ``flank`` bases beyond the outer junctions, so a full-node
+    # span (nodes can be tens of kb) would classify far-away decoy hits as
+    # "same locus" and defeat the suppression.
     spans: List[Dict[str, Tuple[int, int]]] = []
     for cl in panel.clusters:
         span: Dict[str, Tuple[int, int]] = {}
+
+        def widen(chrom: str, lo: int, hi: int) -> None:
+            if chrom in span:
+                a, b = span[chrom]
+                span[chrom] = (min(a, lo), max(b, hi))
+            else:
+                span[chrom] = (lo, hi)
+
         for pi in cl.paths:
-            for node_idx, _ in panel.paths[pi].states:
+            p = panel.paths[pi]
+            trim_lo = p.trim_left
+            trim_hi = p.trim_left + p.length
+            off = 0
+            for node_idx, strand in p.states:
                 node = graph.nodes[node_idx]
-                lo, hi = int(node.start0), int(node.end0)
-                if node.chrom in span:
-                    a, b = span[node.chrom]
-                    span[node.chrom] = (min(a, lo), max(b, hi))
-                else:
-                    span[node.chrom] = (lo, hi)
+                nlen = node.length
+                a = max(trim_lo, off) - off
+                b = min(trim_hi, off + nlen) - off
+                if b > a:
+                    if node.is_alt:  # INS node: a point at the insert site
+                        widen(node.chrom, node.start0, node.end0)
+                    elif strand == 0:  # FWD
+                        widen(node.chrom, node.start0 + a, node.start0 + b - 1)
+                    else:
+                        widen(node.chrom, node.end0 - (b - 1), node.end0 - a)
+                off += nlen
         spans.append(span)
     return Decoy(index=index, chrom_of_path=chrom_of_path, cluster_spans=spans)
 
@@ -117,11 +138,12 @@ def build_decoy(
 def _chain_table(cands: Candidates, rlen: np.ndarray):
     """Aggregate block rows into per-chain rows.
 
-    Returns (chain_ids, read, path, support, q_lo_f, q_hi_f, t_lo, t_hi)
-    with the read interval normalized to FORWARD read coordinates."""
+    Returns (chain_ids, read, path, strand, support, q_lo_f, q_hi_f, t_lo,
+    t_hi): the ANCHOR-extent read interval normalized to FORWARD read
+    coordinates and the corresponding genomic (path) interval."""
     if len(cands) == 0:
         z = np.zeros(0, np.int64)
-        return (z,) * 8
+        return (z,) * 9
     uniq, first = np.unique(cands.chain, return_index=True)
     # blocks of one chain are contiguous; last row index per chain:
     order = np.argsort(cands.chain, kind="stable")
@@ -135,14 +157,14 @@ def _chain_table(cands: Candidates, rlen: np.ndarray):
     path = cands.path[first].astype(np.int64)
     strand = cands.strand[first].astype(np.int64)
     support = cands.n_anchors[first].astype(np.int64)
-    q_lo = cands.q_lo[first].astype(np.int64)
-    q_hi = cands.q_hi[last].astype(np.int64)
+    a_lo = cands.a_lo[first].astype(np.int64)
+    a_hi = cands.a_hi[first].astype(np.int64)
     rl = rlen[read]
-    q_lo_f = np.where(strand == 0, q_lo, rl - q_hi)
-    q_hi_f = np.where(strand == 0, q_hi, rl - q_lo)
-    t_lo = cands.d0[first].astype(np.int64) + q_lo
-    t_hi = cands.d0[last].astype(np.int64) + q_hi
-    return uniq, read, path, support, q_lo_f, q_hi_f, t_lo, t_hi
+    q_lo_f = np.where(strand == 0, a_lo, rl - a_hi)
+    q_hi_f = np.where(strand == 0, a_hi, rl - a_lo)
+    t_lo = cands.d0[first].astype(np.int64) + a_lo
+    t_hi = cands.d0[last].astype(np.int64) + a_hi
+    return uniq, read, path, strand, support, q_lo_f, q_hi_f, t_lo, t_hi
 
 
 def suppress_candidates(
@@ -160,11 +182,11 @@ def suppress_candidates(
     dec = seed_candidates(
         reads, decoy.index, chain_params=chain_params, threads=threads
     )
-    (d_chain, d_read, d_path, d_sup, d_qlo, d_qhi, d_tlo, d_thi) = (
+    (d_chain, d_read, d_path, d_strand, d_sup, d_qlo, d_qhi, d_tlo, d_thi) = (
         _chain_table(dec, reads.lengths)
     )
-    (p_chain, p_read, p_path, p_sup, p_qlo, p_qhi, _, _) = _chain_table(
-        cands, reads.lengths
+    (p_chain, p_read, p_path, _p_str, p_sup, p_qlo, p_qhi, _, _) = (
+        _chain_table(cands, reads.lengths)
     )
     p_cluster = index.path_cluster[p_path]
 
@@ -172,6 +194,16 @@ def suppress_candidates(
     d_order = np.argsort(d_read, kind="stable")
     d_read_s = d_read[d_order]
 
+    # A panel chain survives when the read's best full-length explanation
+    # among the decoy chains covering its read interval lies AT the
+    # cluster's locus (the read belongs here — panel support is measured
+    # on a trimmed window, so it must not compete with full-length decoy
+    # chains directly), or when the panel chain itself out-anchors every
+    # elsewhere-decoy (novel-insertion content has no decoy at all).
+    # "At the locus" is judged on the decoy's genomic SUB-interval for the
+    # overlapping read bases (linear map along the chain): a long decoy
+    # chain merely touching the cluster span with its tip must not
+    # whitelist junk that maps those read bases elsewhere.
     suppressed = set()
     for ci in range(len(p_chain)):
         r = p_read[ci]
@@ -183,21 +215,32 @@ def suppress_candidates(
         if plen <= 0:
             continue
         span = decoy.cluster_spans[int(p_cluster[ci])]
+        best_same = 0
+        best_other = 0
         for di in d_order[lo:hi]:
-            ov = min(p_qhi[ci], d_qhi[di]) - max(p_qlo[ci], d_qlo[di])
-            if ov < decoy.overlap_frac * plen:
-                continue
-            if d_sup[di] <= p_sup[ci]:
+            ov_lo = max(p_qlo[ci], d_qlo[di])
+            ov_hi = min(p_qhi[ci], d_qhi[di])
+            if ov_hi - ov_lo < decoy.overlap_frac * plen:
                 continue
             chrom = decoy.chrom_of_path[int(d_path[di])]
             ex = span.get(chrom)
-            if ex is not None and (
-                d_thi[di] >= ex[0] - decoy.margin
-                and d_tlo[di] <= ex[1] + decoy.margin
-            ):
-                continue  # same-locus decoy = the ref allele, not junk
+            if ex is None:
+                best_other = max(best_other, int(d_sup[di]))
+                continue
+            # decoy genomic sub-interval for [ov_lo, ov_hi] (fwd coords)
+            if d_strand[di] == 0:
+                g1 = d_tlo[di] + (ov_lo - d_qlo[di])
+                g2 = d_tlo[di] + (ov_hi - d_qlo[di])
+            else:
+                g2 = d_thi[di] - (ov_lo - d_qlo[di])
+                g1 = d_thi[di] - (ov_hi - d_qlo[di])
+            same = g2 >= ex[0] - decoy.margin and g1 <= ex[1] + decoy.margin
+            if same:
+                best_same = max(best_same, int(d_sup[di]))
+            else:
+                best_other = max(best_other, int(d_sup[di]))
+        if best_other > max(best_same, int(p_sup[ci])):
             suppressed.add(int(p_chain[ci]))
-            break
     if not suppressed:
         return np.ones(n, dtype=bool)
     sup_arr = np.fromiter(suppressed, dtype=np.int64, count=len(suppressed))

@@ -136,11 +136,11 @@ def build_panel_index(
         ),
         path_len=np.array([p.length for p in panel.paths], dtype=np.int32),
         path_first_j=np.array(
-            [min((j for _, _, j in p.owned), default=0) for p in panel.paths],
+            [min((o[2] for o in p.owned), default=0) for p in panel.paths],
             dtype=np.int32,
         ),
         path_last_j=np.array(
-            [max((j for _, _, j in p.owned), default=0) for p in panel.paths],
+            [max((o[2] for o in p.owned), default=0) for p in panel.paths],
             dtype=np.int32,
         ),
     )

@@ -407,12 +407,13 @@ def collect_outs(dispatches: Sequence[ChunkDispatch]) -> List[List[np.ndarray]]:
 
 
 def finalize_chunk(
+    reads: ReadSet,
     index: PanelIndex,
     cfg: AlignConfig,
     disp: ChunkDispatch,
     host_rows: Sequence[np.ndarray],
 ) -> Tuple[Winners, np.ndarray]:
-    """Chain aggregation + winner-per-(read, cluster) reduction.
+    """Chain aggregation + primary-set reduction per (read, cluster).
 
     Block results are aggregated per chain: the chain score is the sum of
     its blocks scoring >= ``min_score`` (a per-block noise floor — a random
@@ -421,6 +422,17 @@ def finalize_chunk(
     block, and the start from the reverse pass on the FIRST scoring block
     (returned via ``win``). For chains scored by the v3 forward pass,
     qs/ts are left as -1 until :func:`patch_rev`.
+
+    Reduction keeps a PRIMARY SET per (read, cluster), not a single
+    winner: panel paths are local haplotype fragments (walks stop at
+    foreign clusters' links), so a read spanning several junction locales
+    of one cluster has several disjoint fragment alignments — the
+    reference counts every edge its ONE whole-graph alignment crosses, so
+    each fragment must count. Chains are kept greedily by score when
+    their forward-read intervals overlap every kept chain by < 50% of
+    their own length (minimap2's mask_level rule); ref-vs-alt branch
+    competition at one junction is preserved because those alignments
+    cover the same read interval.
     """
     cands = disp.cands
     B = cfg.band
@@ -456,35 +468,95 @@ def finalize_chunk(
 
     disp.block_score = out_score
 
-    # ---- aggregate blocks into chains ----
+    # ---- aggregate blocks into chains via CONNECTED RUNS ----
+    # A chain's alignment is its best maximal run of consecutive good
+    # blocks where each block's alignment END (in path coords) reaches the
+    # next block's window start: a weak spurious block far from the real
+    # alignment (an extension block picking up a 20-base repeat) must not
+    # stretch the reported span across unaligned territory — the
+    # reference's Ts..Te always belongs to ONE contiguous alignment.
     uniq_chain, inv = np.unique(cands.chain, return_inverse=True)
     n_chains = len(uniq_chain)
     good = out_score >= cfg.min_score
     good_idx = np.flatnonzero(good)
     if len(good_idx) == 0:
         return Winners(*([empty] * 9)), empty
+    connect_slack = cfg.band + 2 * cfg.diag_bin + 128
+    next_start = cands.d0.astype(np.int64) + disp.rw_start
+    connected = np.zeros(n, dtype=bool)
+    if n > 1:
+        connected[1:] = (
+            good[1:]
+            & good[:-1]
+            & (cands.chain[1:] == cands.chain[:-1])
+            & (out_te[:-1] >= next_start[1:] - connect_slack)
+        )
+    run_id = np.cumsum(~connected)  # consecutive connected rows share a run
+    n_runs = int(run_id[-1]) + 1
+    run_score = np.zeros(n_runs, dtype=np.int64)
+    np.add.at(run_score, run_id[good_idx], out_score[good_idx])
+    run_first = np.full(n_runs, n, dtype=np.int64)
+    np.minimum.at(run_first, run_id[good_idx], good_idx)
+    run_last = np.full(n_runs, -1, dtype=np.int64)
+    np.maximum.at(run_last, run_id[good_idx], good_idx)
+    # best run per chain (ties -> lowest run id)
+    live_runs = np.flatnonzero(run_last >= 0)
+    run_chain = inv[run_first[live_runs]]
     chain_score = np.zeros(n_chains, dtype=np.int64)
-    np.add.at(chain_score, inv[good_idx], out_score[good_idx])
+    np.maximum.at(chain_score, run_chain, run_score[live_runs])
+    is_best = run_score[live_runs] == chain_score[run_chain]
+    best_run = np.full(n_chains, n_runs, dtype=np.int64)
+    np.minimum.at(best_run, run_chain[is_best], live_runs[is_best])
+    has_run = best_run < n_runs
     first_blk = np.full(n_chains, n, dtype=np.int64)
-    np.minimum.at(first_blk, inv[good_idx], good_idx)
     last_blk = np.full(n_chains, -1, dtype=np.int64)
-    np.maximum.at(last_blk, inv[good_idx], good_idx)
+    first_blk[has_run] = run_first[best_run[has_run]]
+    last_blk[has_run] = run_last[best_run[has_run]]
     alive = np.flatnonzero((chain_score >= cfg.min_score) & (last_blk >= 0))
     if len(alive) == 0:
         return Winners(*([empty] * 9)), empty
 
-    # ---- winner per (read, cluster) among alive chains ----
+    # ---- primary set per (read, cluster) among alive chains ----
+    # Chain read intervals use the ANCHOR extents (forward read coords):
+    # block bounds are quantized to block_rows and inflated by extension
+    # blocks, which would blur the 50%-overlap primary selection.
     rep = first_blk[alive]  # representative block per chain
     cluster_all = index.path_cluster[cands.path].astype(np.int64)
-    key = (
-        cands.read[rep].astype(np.int64) * (cluster_all.max() + 1)
-        + cluster_all[rep]
-    )
-    order2 = np.lexsort((-chain_score[alive], key))
-    key = key[order2]
-    first = np.ones(len(order2), dtype=bool)
-    first[1:] = key[1:] != key[:-1]
-    win_chain = alive[order2[first]]
+    a_read = cands.read[rep].astype(np.int64)
+    a_strand = cands.strand[rep].astype(np.int64)
+    a_rlen = reads.lengths[cands.read[rep]].astype(np.int64)
+    c_alo = cands.a_lo[rep].astype(np.int64)
+    c_ahi = cands.a_hi[rep].astype(np.int64)
+    a_qlo = np.where(a_strand == 0, c_alo, a_rlen - c_ahi)
+    a_qhi = np.where(a_strand == 0, c_ahi, a_rlen - c_alo)
+    key = a_read * (cluster_all.max() + 1) + cluster_all[rep]
+    order2 = np.lexsort((alive, -chain_score[alive], key))
+    key_s = key[order2]
+    grp_start = np.ones(len(order2), dtype=bool)
+    grp_start[1:] = key_s[1:] != key_s[:-1]
+    kept_rows: List[int] = []
+    MAX_PRIMARY = 8
+    starts = np.flatnonzero(grp_start)
+    bounds = np.append(starts, len(order2))
+    for gi in range(len(starts)):
+        kept_lo: List[int] = []
+        kept_hi: List[int] = []
+        for row in order2[bounds[gi] : bounds[gi + 1]]:
+            if len(kept_lo) >= MAX_PRIMARY:
+                break
+            lo, hi = int(a_qlo[row]), int(a_qhi[row])
+            span = max(1, hi - lo)
+            ok = True
+            for klo, khi in zip(kept_lo, kept_hi):
+                ov = min(hi, khi) - max(lo, klo)
+                if ov >= 0.5 * span:
+                    ok = False
+                    break
+            if ok:
+                kept_lo.append(lo)
+                kept_hi.append(hi)
+                kept_rows.append(row)
+    win_chain = alive[np.asarray(kept_rows, dtype=np.int64)]
 
     win = first_blk[win_chain]
     last = last_blk[win_chain]
@@ -636,11 +708,82 @@ def align_candidates(
         reads, panel, index, cands, cfg, device_data, batch_size=batch_size
     )
     (host_rows,) = collect_outs([disp])
-    winners, win = finalize_chunk(index, cfg, disp, host_rows)
+    winners, win = finalize_chunk(reads, index, cfg, disp, host_rows)
     dispatch_rev(cfg, disp, winners, win)
     (rev_rows,) = collect_rev([disp])
     patch_rev(cfg, disp, winners, rev_rows)
-    return winners
+    return prune_secondaries(winners, reads, cfg)
+
+
+def prune_secondaries(
+    winners: Winners, reads: ReadSet, cfg: AlignConfig = None
+) -> Winners:
+    """Score-density floor + secondary overlap prune (post-rev).
+
+    Density: a counted alignment must score >= min_density_millis/1000
+    per aligned base over the longer of its spans — connected runs of
+    weak repeat matches (0.1-0.3 per base) are junk minigraph's own
+    alignment scoring would never emit.
+
+    Overlap: the pre-DP primary selection works on anchor extents, which
+    underestimate alignment spans (repeat k-mers are dropped by the index
+    hit cap, thinning anchors exactly where repeat-shifted junk lives), so
+    a repeat-shifted secondary can slip past it. With the reverse pass
+    done, real [qs..qe] spans exist — re-run the mask_level rule per
+    (read, cluster) on them before counting.
+    """
+    n = len(winners.read)
+    if n == 0:
+        return winners
+    rlen = reads.lengths[winners.read]
+    q_lo = np.where(winners.strand == 0, winners.qs, rlen - 1 - winners.qe)
+    q_hi = np.where(winners.strand == 0, winners.qe, rlen - 1 - winners.qs)
+    key = winners.read * (winners.cluster.max() + 1) + winners.cluster
+    order = np.lexsort((np.arange(n), -winners.score, key))
+    keep = np.zeros(n, dtype=bool)
+    dense = np.ones(n, dtype=bool)
+    if cfg is not None:
+        span = np.maximum(
+            winners.qe - winners.qs + 1, winners.te - winners.ts + 1
+        )
+        dense = winners.score * 1000 >= cfg.min_density_millis * span
+    key_s = key[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], key_s[1:] != key_s[:-1]])
+    )
+    bounds = np.append(starts, n)
+    for gi in range(len(starts)):
+        kept: List[Tuple[int, int]] = []
+        for row in order[bounds[gi] : bounds[gi + 1]]:
+            if not dense[row]:
+                continue
+            lo, hi = int(q_lo[row]), int(q_hi[row])
+            span = max(1, hi - lo + 1)
+            ok = True
+            for klo, khi in kept:
+                ov = min(hi, khi) - max(lo, klo) + 1
+                if ov >= 0.5 * span:
+                    ok = False
+                    break
+            if ok:
+                kept.append((lo, hi))
+                keep[row] = True
+    if keep.all():
+        return winners
+    out = Winners(
+        *[
+            getattr(winners, f)[keep]
+            for f in (
+                "read", "cluster", "path", "strand", "score",
+                "qs", "qe", "ts", "te",
+            )
+        ]
+    )
+    for f in ("matches", "blocklen", "mapq"):
+        v = getattr(winners, f)
+        if v is not None:
+            setattr(out, f, v[keep])
+    return out
 
 
 def count_support(
@@ -658,15 +801,23 @@ def count_support(
     """
     counts: Dict[str, List[int]] = {}
     audit: Dict[str, List[List[str]]] = {}
+    # A read's primary set can, in overlap edge cases, contain two kept
+    # alignments crossing the SAME graph link; the reference's one
+    # whole-graph alignment can cross a link only once, so dedup per
+    # (read, link, tag, allele) — one link can carry several tags
+    # (co-located SVs share breakpoint links), each of which counts.
+    seen: set = set()
     for i in range(len(winners.read)):
         path = panel.paths[int(winners.path[i])]
         ts, te = int(winners.ts[i]), int(winners.te[i])
-        crossed = False
-        for tag, allele, j in path.owned:
+        for tag, allele, j, li in path.owned:
             if (j - ts) >= d_over and (te - j + 1) >= d_over:
+                key = (int(winners.read[i]), li, tag, allele)
+                if key in seen:
+                    continue
+                seen.add(key)
                 entry = counts.setdefault(tag, [0, 0])
                 entry[allele] += 1
-                crossed = True
                 if collect_audit:
                     line = _audit_line(panel, winners, reads, i)
                     audit.setdefault(tag, [[], []])[allele].append(line)
@@ -899,7 +1050,9 @@ def align_and_count(
         # dispatch round + one bulk fetch for all chunks).
         finalized = []
         for (start, chunk, disp), host_rows in zip(pending, per_chunk):
-            winners, win = finalize_chunk(index, align_cfg, disp, host_rows)
+            winners, win = finalize_chunk(
+                chunk, index, align_cfg, disp, host_rows
+            )
             dispatch_rev(align_cfg, disp, winners, win)
             finalized.append(winners)
         tf2 = time.perf_counter()
@@ -913,6 +1066,7 @@ def align_and_count(
             pending, finalized, rev_rows_all
         ):
             patch_rev(align_cfg, disp, winners, rev_rows)
+            winners = prune_secondaries(winners, chunk, align_cfg)
             if collect_audit:
                 compute_winner_stats(chunk, panel, winners, align_cfg)
             chunk_counts, chunk_audit = count_support(
@@ -971,6 +1125,8 @@ def align_and_count(
                     chain=cands.chain[keep],
                     q_lo=cands.q_lo[keep],
                     q_hi=cands.q_hi[keep],
+                    a_lo=cands.a_lo[keep],
+                    a_hi=cands.a_hi[keep],
                 )
         t1 = time.perf_counter()
         device_data = dev.upload(chunk.codes, panel, panel_cache)

@@ -49,6 +49,9 @@ class Candidates:
     chain: np.ndarray = None  # int64 global chain id (blocks contiguous)
     q_lo: np.ndarray = None  # int32 block read-window start (oriented read)
     q_hi: np.ndarray = None  # int32 block read-window end (exclusive)
+    #: chain anchor extent (oriented read coords; same on every block row)
+    a_lo: np.ndarray = None  # int32
+    a_hi: np.ndarray = None  # int32
 
     def __post_init__(self):
         if self.chain is None:
@@ -57,6 +60,10 @@ class Candidates:
             self.q_lo = np.zeros(len(self.read), dtype=np.int32)
         if self.q_hi is None:
             self.q_hi = np.full(len(self.read), 1 << 30, dtype=np.int32)
+        if self.a_lo is None:
+            self.a_lo = self.q_lo
+        if self.a_hi is None:
+            self.a_hi = self.q_hi
 
     def __len__(self) -> int:
         return len(self.read)
@@ -182,12 +189,13 @@ def seed_candidates(
             params=cp, n_threads=threads,
         )
         if res is not None:
-            read, path, strand, d0, support, chain_local, q_lo, q_hi = res
+            (read, path, strand, d0, support, chain_local, q_lo, q_hi,
+             a_lo, a_hi) = res
             return Candidates(
                 read=read, path=path, strand=strand, d0=d0,
                 n_anchors=support,
                 chain=_globalize_chains(read, chain_local),
-                q_lo=q_lo, q_hi=q_hi,
+                q_lo=q_lo, q_hi=q_hi, a_lo=a_lo, a_hi=a_hi,
             )
     native_result = (
         native.minimizers(
@@ -244,7 +252,7 @@ def seed_candidates(
 
     rows_read, rows_path, rows_strand = [], [], []
     rows_d0, rows_support, rows_chain = [], [], []
-    rows_qlo, rows_qhi = [], []
+    rows_qlo, rows_qhi, rows_alo, rows_ahi = [], [], [], []
     chain_counter = 0
     for s, e in zip(starts, ends):
         g = int(group_s[s])
@@ -262,6 +270,8 @@ def seed_candidates(
             blocks = _blocks_for_chain(
                 rp, dg, np.asarray(idx), int(rlen[g_read]), cp
             )
+            a_lo = int(rp[idx[0]])
+            a_hi = min(int(rp[idx[-1]]) + index.k, int(rlen[g_read]))
             for q_lo, q_hi, d0 in blocks:
                 rows_read.append(g_read)
                 rows_path.append(g_path)
@@ -271,6 +281,8 @@ def seed_candidates(
                 rows_chain.append(chain_counter)
                 rows_qlo.append(q_lo)
                 rows_qhi.append(q_hi)
+                rows_alo.append(a_lo)
+                rows_ahi.append(a_hi)
             chain_counter += 1
 
     if not rows_read:
@@ -284,6 +296,8 @@ def seed_candidates(
         chain=np.asarray(rows_chain, np.int64),
         q_lo=np.asarray(rows_qlo, np.int32),
         q_hi=np.asarray(rows_qhi, np.int32),
+        a_lo=np.asarray(rows_alo, np.int32),
+        a_hi=np.asarray(rows_ahi, np.int32),
     )
 
 

@@ -61,6 +61,11 @@ class AlignConfig:
     band: int = 128
     #: Minimum winning DP score for an alignment to be counted at all.
     min_score: int = 40
+    #: Minimum score per aligned base (x1000) for a winner to be counted:
+    #: a real long-read alignment scores ~match*(1-3e) per base (~1.4 at
+    #: 10% error with +2/-4), while repeat-shift junk runs far below; the
+    #: reference gets this filter from minigraph's own alignment scoring.
+    min_density_millis: int = 500
     #: Read/path length buckets for fixed-shape batching.
     buckets: tuple = (512, 1024, 2048, 4096, 8192, 16384, 30720)
 

@@ -117,7 +117,7 @@ def build_owned_table(panel, tag_to_id: Dict[str, int], k_max: int = 0) -> Owned
     allele = np.zeros((n, K), dtype=np.int32)
     valid = np.zeros((n, K), dtype=bool)
     for pid, path in enumerate(panel.paths):
-        for col, (t, a, j) in enumerate(path.owned):
+        for col, (t, a, j, _li) in enumerate(path.owned):
             junction[pid, col] = j
             tag[pid, col] = tag_to_id[t]
             allele[pid, col] = a

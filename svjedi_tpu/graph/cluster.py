@@ -53,10 +53,12 @@ class PanelPath:
     states: List[State]
     #: int8 sequence (A,C,G,T->0..3, N->4), flank-trimmed.
     seq: np.ndarray
-    #: (tag, allele, junction_offset) for owned links crossed, in walk order.
-    #: junction_offset = path-space index (trimmed coords) of the first base
-    #: after the junction.
-    owned: List[Tuple[str, int, int]]
+    #: (tag, allele, junction_offset, link_idx) for owned links crossed,
+    #: in walk order. junction_offset = path-space index (trimmed coords) of
+    #: the first base after the junction; link_idx identifies the crossed
+    #: graph link (counting dedups per (read, link) across a read's kept
+    #: alignments).
+    owned: List[Tuple[str, int, int, int]]
     #: Bases trimmed off the front of the untrimmed walk (for GAF coords).
     trim_left: int
     #: Total untrimmed walk length (sum of full node lengths).
@@ -347,19 +349,19 @@ def _materialize(
     full = np.concatenate(chunks) if chunks else np.zeros(0, np.int8)
     full_len = int(offsets[-1])
 
-    owned_list: List[Tuple[str, int, int]] = []
+    owned_list: List[Tuple[str, int, int, int]] = []
     junctions = []
     for i, li in crossings:
         boundary = int(offsets[i + 1])
         junctions.append(boundary)
         for tag, allele in graph.links[li].tags:
-            owned_list.append((tag, allele, boundary))
+            owned_list.append((tag, allele, boundary, li))
     first_j, last_j = junctions[0], junctions[-1]
 
     trim_left = max(0, first_j - flank)
     trim_right = min(full_len, last_j + flank)
     seq = np.ascontiguousarray(full[trim_left:trim_right])
-    owned_list = [(t, a, j - trim_left) for (t, a, j) in owned_list]
+    owned_list = [(t, a, j - trim_left, li) for (t, a, j, li) in owned_list]
     return PanelPath(
         cluster_id=cid,
         states=states,

@@ -57,6 +57,8 @@ class _NativeIO:
                     ctypes.POINTER(ctypes.c_int32),
                     ctypes.POINTER(ctypes.c_int32),
                     ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
                 ]
                 lib.svt_seed_free.restype = None
                 lib.svt_seed_free.argtypes = [ctypes.c_void_p]
@@ -234,6 +236,8 @@ class _NativeIO:
             chain_local = np.empty(n, dtype=np.int32)
             q_lo = np.empty(n, dtype=np.int32)
             q_hi = np.empty(n, dtype=np.int32)
+            a_lo = np.empty(n, dtype=np.int32)
+            a_hi = np.empty(n, dtype=np.int32)
             if n:
                 lib.svt_chain_copy(
                     handle,
@@ -247,8 +251,11 @@ class _NativeIO:
                     ),
                     q_lo.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                     q_hi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    a_lo.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    a_hi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 )
-            return read, path, strand, d0, support, chain_local, q_lo, q_hi
+            return (read, path, strand, d0, support, chain_local, q_lo,
+                    q_hi, a_lo, a_hi)
         finally:
             lib.svt_seed_free(handle)
 

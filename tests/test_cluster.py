@@ -62,7 +62,7 @@ def test_del_cluster_has_ref_and_alt_paths():
         if tags == {"1:DEL-10000-10500"}:
             alleles = set()
             for pi in cluster.paths:
-                for tag, allele, _ in panel.paths[pi].owned:
+                for tag, allele, *_ in panel.paths[pi].owned:
                     alleles.add(allele)
             assert alleles == {0, 1}
             return
@@ -79,7 +79,7 @@ def test_nested_inv_produces_reverse_walk():
             has_reverse_interior = False
             for pi in cluster.paths:
                 path = panel.paths[pi]
-                if any(a == 1 for _, a, _ in path.owned):
+                if any(a == 1 for _, a, *_ in path.owned):
                     if any(s == REV for _, s in path.states):
                         has_reverse_interior = True
             assert has_reverse_interior
@@ -98,7 +98,7 @@ def test_multi_ins_shared_breakpoint_branches():
             per_path_tags = []
             for pi in cluster.paths:
                 crossed = {
-                    (t, a) for t, a, _ in panel.paths[pi].owned
+                    (t, a) for t, a, *_ in panel.paths[pi].owned
                 }
                 per_path_tags.append(crossed)
             # One path supports INS-1 alt without touching INS-2 alt.
@@ -131,5 +131,5 @@ def test_junction_offsets_match_sequence_boundaries():
         np.testing.assert_array_equal(
             full[path.trim_left : trim_right], path.seq
         )
-        for tag, allele, j in path.owned:
+        for tag, allele, j, *_ in path.owned:
             assert 0 <= j <= len(path.seq)

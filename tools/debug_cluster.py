@@ -51,8 +51,17 @@ def build_state(force=False):
         max_hits_per_minimizer=cfg.align.max_hits_per_minimizer,
     )
     reads = read_reads(list(cfg.reads))
+    decoy = None
+    if cfg.align.decoy and os.environ.get("SVJT_NO_DECOY") != "1":
+        from svjedi_tpu.align.decoy import build_decoy
+
+        decoy = build_decoy(
+            panel, k=cfg.align.kmer, w=cfg.align.window,
+            max_hits_per_minimizer=cfg.align.max_hits_per_minimizer,
+        )
     counts, audit, winners = align_and_count(
-        reads, panel, index, cfg.align, cfg.genotype, collect_audit=False
+        reads, panel, index, cfg.align, cfg.genotype, collect_audit=False,
+        decoy=decoy,
     )
     state = dict(cfg=cfg, panel=panel, index=index, reads=reads,
                  counts=counts, winners=winners)
@@ -91,7 +100,7 @@ def main():
     tag_clusters = {}
     for ci, cl in enumerate(panel.clusters):
         for pi in cl.paths:
-            for tag, allele, j in panel.paths[pi].owned:
+            for tag, allele, j, *_ in panel.paths[pi].owned:
                 tag_clusters.setdefault(tag, set()).add(ci)
 
     for tag_sub in want:
@@ -117,7 +126,7 @@ def main():
                 p = panel.paths[int(winners.path[i])]
                 ts, te = int(winners.ts[i]), int(winners.te[i])
                 rid = int(winners.read[i])
-                for t2, allele, j in p.owned:
+                for t2, allele, j, *_ in p.owned:
                     if t2 != tag:
                         continue
                     hit = (j - ts) >= 100 and (te - j + 1) >= 100

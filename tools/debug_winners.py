@@ -17,7 +17,7 @@ def main():
     cids = set()
     for ci, cl in enumerate(panel.clusters):
         for pi in cl.paths:
-            if any(tag_sub in t for (t, a, j) in panel.paths[pi].owned):
+            if any(tag_sub in t for (t, a, j, *_) in panel.paths[pi].owned):
                 cids.add(ci)
     print(f"clusters {sorted(cids)}")
     rows = []
