@@ -38,6 +38,23 @@ BASELINE_READS_PER_S = float(os.environ.get("SVJT_BASELINE_READS_PER_S", "500"))
 CONFIG = os.environ.get("SVJT_BENCH_CONFIG", "golden")
 
 
+def _build_decoy(panel, cfg):
+    """Whole-genome decoy index, exactly as run_pipeline builds it.
+
+    The decoy competition is part of the production align stage (it is what
+    gives the aligner minigraph's whole-graph specificity), so the bench
+    must run — and time — it too.
+    """
+    if not cfg.decoy:
+        return None
+    from svjedi_tpu.align.decoy import build_decoy
+
+    return build_decoy(
+        panel, k=cfg.kmer, w=cfg.window,
+        max_hits_per_minimizer=cfg.max_hits_per_minimizer,
+    )
+
+
 def _scale_bench() -> int:
     """Throughput on the BASELINE.md production-scale simulated config."""
     import numpy as np
@@ -79,8 +96,9 @@ def _scale_bench() -> int:
             panel, k=cfg.kmer, w=cfg.window,
             max_hits_per_minimizer=cfg.max_hits_per_minimizer,
         )
+        decoy = _build_decoy(panel, cfg)
         counts, _, _ = align_and_count(
-            reads, panel, index, cfg, gcfg, collect_audit=False
+            reads, panel, index, cfg, gcfg, collect_audit=False, decoy=decoy
         )  # warm + correctness input
         from svjedi_tpu.evals.contingency import contingency_report
         from svjedi_tpu.genotype.vcf_writer import write_genotyped_vcf
@@ -96,7 +114,9 @@ def _scale_bench() -> int:
         }))
         return 1
     t0 = time.perf_counter()
-    align_and_count(reads, panel, index, cfg, gcfg, collect_audit=False)
+    align_and_count(
+        reads, panel, index, cfg, gcfg, collect_audit=False, decoy=decoy
+    )
     dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": "scale_reads_per_s_per_chip",
@@ -166,12 +186,15 @@ def main() -> int:
         max_hits_per_minimizer=align_cfg.max_hits_per_minimizer,
     )
 
+    decoy = _build_decoy(panel, align_cfg)
+
     base = read_reads(str(TEST_DIR / "simulated_reads.fastq.gz"))
 
     # Warmup pass (compiles every DP bucket shape, warms the TPU tunnel)
     # and correctness check: counts must reproduce the golden genotypes.
     counts, _, _ = align_and_count(
-        base, panel, index, align_cfg, genotype_cfg, collect_audit=False
+        base, panel, index, align_cfg, genotype_cfg, collect_audit=False,
+        decoy=decoy,
     )
     import tempfile
 
@@ -218,7 +241,7 @@ def main() -> int:
         timings = {}
         t0 = time.perf_counter()
         align_and_count(reps, panel, index, align_cfg, genotype_cfg,
-                        collect_audit=False, timings=timings)
+                        collect_audit=False, timings=timings, decoy=decoy)
         pass_dt = time.perf_counter() - t0
         if pass_i > 0:
             dt = pass_dt if dt is None else min(dt, pass_dt)

@@ -45,6 +45,22 @@ class Decoy:
     cluster_spans: List[Dict[str, Tuple[int, int]]]
     overlap_frac: float = 0.5
     margin: int = 500
+    #: dense (n_clusters, n_chroms) copies of ``cluster_spans`` for the
+    #: vectorized suppression (lo > hi encodes "no span on this chrom")
+    span_lo: np.ndarray = None
+    span_hi: np.ndarray = None
+
+    def __post_init__(self):
+        if self.span_lo is None:
+            n_chroms = len(self.chrom_of_path)
+            cid = {c: i for i, c in enumerate(self.chrom_of_path)}
+            n_cl = len(self.cluster_spans)
+            self.span_lo = np.full((n_cl, n_chroms), 1 << 62, dtype=np.int64)
+            self.span_hi = np.full((n_cl, n_chroms), -(1 << 62), dtype=np.int64)
+            for ci, span in enumerate(self.cluster_spans):
+                for chrom, (lo, hi) in span.items():
+                    self.span_lo[ci, cid[chrom]] = lo
+                    self.span_hi[ci, cid[chrom]] = hi
 
 
 def build_decoy(
@@ -174,74 +190,92 @@ def suppress_candidates(
     decoy: Decoy,
     chain_params: ChainParams,
     threads: int = 0,
+    dec: Candidates = None,
 ) -> np.ndarray:
-    """Return a keep-mask over ``cands`` rows (False = suppressed chain)."""
+    """Return a keep-mask over ``cands`` rows (False = suppressed chain).
+
+    ``dec`` passes pre-seeded decoy chains in (the combined-index seeding
+    path splits one scan into panel + decoy rows); when None the decoy
+    index is seeded here.
+
+    A panel chain survives when the read's best full-length explanation
+    among the decoy chains covering its read interval lies AT the
+    cluster's locus (the read belongs here — panel support is measured
+    on a trimmed window, so it must not compete with full-length decoy
+    chains directly), or when the panel chain itself out-anchors every
+    elsewhere-decoy (novel-insertion content has no decoy at all).
+    "At the locus" is judged on the decoy's genomic SUB-interval for the
+    overlapping read bases (linear map along the chain): a long decoy
+    chain merely touching the cluster span with its tip must not
+    whitelist junk that maps those read bases elsewhere.
+    """
     n = len(cands)
     if n == 0:
         return np.ones(0, dtype=bool)
-    dec = seed_candidates(
-        reads, decoy.index, chain_params=chain_params, threads=threads
-    )
+    if dec is None:
+        dec = seed_candidates(
+            reads, decoy.index, chain_params=chain_params, threads=threads
+        )
     (d_chain, d_read, d_path, d_strand, d_sup, d_qlo, d_qhi, d_tlo, d_thi) = (
         _chain_table(dec, reads.lengths)
     )
     (p_chain, p_read, p_path, _p_str, p_sup, p_qlo, p_qhi, _, _) = (
         _chain_table(cands, reads.lengths)
     )
-    p_cluster = index.path_cluster[p_path]
+    if len(d_chain) == 0:
+        return np.ones(n, dtype=bool)
+    p_cluster = index.path_cluster[p_path].astype(np.int64)
 
-    # group decoy chains by read
+    # Expand (panel chain, same-read decoy chain) pairs; everything below
+    # is vectorized over pairs (the per-chain Python loop cost ~1.3 ms per
+    # read at test-dir scale — the whole align budget).
     d_order = np.argsort(d_read, kind="stable")
     d_read_s = d_read[d_order]
-
-    # A panel chain survives when the read's best full-length explanation
-    # among the decoy chains covering its read interval lies AT the
-    # cluster's locus (the read belongs here — panel support is measured
-    # on a trimmed window, so it must not compete with full-length decoy
-    # chains directly), or when the panel chain itself out-anchors every
-    # elsewhere-decoy (novel-insertion content has no decoy at all).
-    # "At the locus" is judged on the decoy's genomic SUB-interval for the
-    # overlapping read bases (linear map along the chain): a long decoy
-    # chain merely touching the cluster span with its tip must not
-    # whitelist junk that maps those read bases elsewhere.
-    suppressed = set()
-    for ci in range(len(p_chain)):
-        r = p_read[ci]
-        lo = np.searchsorted(d_read_s, r, "left")
-        hi = np.searchsorted(d_read_s, r, "right")
-        if lo == hi:
-            continue
-        plen = p_qhi[ci] - p_qlo[ci]
-        if plen <= 0:
-            continue
-        span = decoy.cluster_spans[int(p_cluster[ci])]
-        best_same = 0
-        best_other = 0
-        for di in d_order[lo:hi]:
-            ov_lo = max(p_qlo[ci], d_qlo[di])
-            ov_hi = min(p_qhi[ci], d_qhi[di])
-            if ov_hi - ov_lo < decoy.overlap_frac * plen:
-                continue
-            chrom = decoy.chrom_of_path[int(d_path[di])]
-            ex = span.get(chrom)
-            if ex is None:
-                best_other = max(best_other, int(d_sup[di]))
-                continue
-            # decoy genomic sub-interval for [ov_lo, ov_hi] (fwd coords)
-            if d_strand[di] == 0:
-                g1 = d_tlo[di] + (ov_lo - d_qlo[di])
-                g2 = d_tlo[di] + (ov_hi - d_qlo[di])
-            else:
-                g2 = d_thi[di] - (ov_lo - d_qlo[di])
-                g1 = d_thi[di] - (ov_hi - d_qlo[di])
-            same = g2 >= ex[0] - decoy.margin and g1 <= ex[1] + decoy.margin
-            if same:
-                best_same = max(best_same, int(d_sup[di]))
-            else:
-                best_other = max(best_other, int(d_sup[di]))
-        if best_other > max(best_same, int(p_sup[ci])):
-            suppressed.add(int(p_chain[ci]))
-    if not suppressed:
+    lo = np.searchsorted(d_read_s, p_read, "left")
+    hi = np.searchsorted(d_read_s, p_read, "right")
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
         return np.ones(n, dtype=bool)
-    sup_arr = np.fromiter(suppressed, dtype=np.int64, count=len(suppressed))
-    return ~np.isin(cands.chain, sup_arr)
+    prefix = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=prefix[1:])
+    flat = np.arange(total, dtype=np.int64) - np.repeat(prefix, counts)
+    pair_p = np.repeat(np.arange(len(p_chain), dtype=np.int64), counts)
+    pair_d = d_order[np.repeat(lo, counts) + flat]
+
+    plen = (p_qhi - p_qlo)[pair_p]
+    ov_lo = np.maximum(p_qlo[pair_p], d_qlo[pair_d])
+    ov_hi = np.minimum(p_qhi[pair_p], d_qhi[pair_d])
+    covers = (plen > 0) & (ov_hi - ov_lo >= decoy.overlap_frac * plen)
+
+    # Decoy genomic sub-interval for the overlapping read bases.
+    fwd = d_strand[pair_d] == 0
+    g1 = np.where(
+        fwd,
+        d_tlo[pair_d] + (ov_lo - d_qlo[pair_d]),
+        d_thi[pair_d] - (ov_hi - d_qlo[pair_d]),
+    )
+    g2 = np.where(
+        fwd,
+        d_tlo[pair_d] + (ov_hi - d_qlo[pair_d]),
+        d_thi[pair_d] - (ov_lo - d_qlo[pair_d]),
+    )
+    cl = p_cluster[pair_p]
+    ch = d_path[pair_d]
+    ex_lo = decoy.span_lo[cl, ch]
+    ex_hi = decoy.span_hi[cl, ch]
+    has_span = ex_lo <= ex_hi
+    same = has_span & (g2 >= ex_lo - decoy.margin) & (g1 <= ex_hi + decoy.margin)
+
+    sup = d_sup[pair_d]
+    best_same = np.zeros(len(p_chain), dtype=np.int64)
+    best_other = np.zeros(len(p_chain), dtype=np.int64)
+    m_same = covers & same
+    m_other = covers & ~same
+    np.maximum.at(best_same, pair_p[m_same], sup[m_same])
+    np.maximum.at(best_other, pair_p[m_other], sup[m_other])
+
+    suppressed_rows = best_other > np.maximum(best_same, p_sup)
+    if not suppressed_rows.any():
+        return np.ones(n, dtype=bool)
+    return ~np.isin(cands.chain, p_chain[suppressed_rows])

@@ -77,6 +77,46 @@ class PanelIndex:
         return start, end
 
 
+def merge_indexes(a: PanelIndex, b: PanelIndex) -> PanelIndex:
+    """One index over both hit tables; ``b``'s path ids offset after ``a``'s.
+
+    Seeding cost is dominated by the per-read minimizer scan, which is
+    identical for every index — merging the panel and decoy indexes lets one
+    scan serve both. Chaining groups by (read, path, strand), so the merged
+    seeding result is exactly the union of the separate results (native
+    chainer: fastio.cpp chain_reads has no cross-path state).
+    """
+    if (a.k, a.w) != (b.k, b.w):
+        raise ValueError("cannot merge indexes with different k/w")
+    off = len(a.path_len)
+    ha = np.repeat(a.uniq_hash, np.diff(a.hit_start))
+    hb = np.repeat(b.uniq_hash, np.diff(b.hit_start))
+    all_hash = np.concatenate([ha, hb])
+    all_path = np.concatenate([a.hit_path, b.hit_path + off])
+    all_pos = np.concatenate([a.hit_pos, b.hit_pos])
+    all_strand = np.concatenate([a.hit_strand, b.hit_strand])
+    order = np.argsort(all_hash, kind="stable")
+    all_hash = all_hash[order]
+    uniq, start = np.unique(all_hash, return_index=True)
+    hit_start = np.append(start, len(all_hash)).astype(np.int64)
+    cluster_off = int(a.path_cluster.max()) + 1 if len(a.path_cluster) else 0
+    return PanelIndex(
+        k=a.k,
+        w=a.w,
+        uniq_hash=uniq,
+        hit_start=hit_start,
+        hit_path=all_path[order],
+        hit_pos=all_pos[order],
+        hit_strand=all_strand[order],
+        path_cluster=np.concatenate(
+            [a.path_cluster, b.path_cluster + cluster_off]
+        ),
+        path_len=np.concatenate([a.path_len, b.path_len]),
+        path_first_j=np.concatenate([a.path_first_j, b.path_first_j]),
+        path_last_j=np.concatenate([a.path_last_j, b.path_last_j]),
+    )
+
+
 def build_panel_index(
     panel: Panel, k: int = 15, w: int = 10, max_hits_per_minimizer: int = 64
 ) -> PanelIndex:

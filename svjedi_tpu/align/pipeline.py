@@ -1033,6 +1033,17 @@ def align_and_count(
     winner_parts: List[Winners] = []
     panel_cache: Dict = {}
 
+    # One minimizer scan serves panel AND decoy seeding: the merged index
+    # carries decoy chromosome "paths" after the panel paths, and the rows
+    # split by path id (index.merge_indexes; the scan is the seed stage's
+    # dominant cost).
+    n_panel_paths = len(index.path_len)
+    seed_index = index
+    if decoy is not None:
+        from .index import merge_indexes
+
+        seed_index = merge_indexes(index, decoy.index)
+
     # Phase 1 — dispatch: seed each chunk and enqueue its DP batches; all
     # results stay on device. Phase 2 — collect: ONE device→host transfer
     # for every pending batch, then the (host, numpy) winner reduction and
@@ -1105,29 +1116,21 @@ def align_and_count(
             ext_min_anchors=align_cfg.chain_ext_min_anchors,
         )
         cands = seed_candidates(
-            chunk, index, chain_params=chain_params,
+            chunk, seed_index, chain_params=chain_params,
             threads=align_cfg.threads,
         )
         if decoy is not None and len(cands):
             from .decoy import suppress_candidates
 
+            is_panel = cands.path < n_panel_paths
+            dec = cands.take(~is_panel, path_offset=-n_panel_paths)
+            cands = cands.take(is_panel)
             keep = suppress_candidates(
                 chunk, cands, index, decoy, chain_params,
-                threads=align_cfg.threads,
+                threads=align_cfg.threads, dec=dec,
             )
             if not keep.all():
-                cands = Candidates(
-                    read=cands.read[keep],
-                    path=cands.path[keep],
-                    strand=cands.strand[keep],
-                    d0=cands.d0[keep],
-                    n_anchors=cands.n_anchors[keep],
-                    chain=cands.chain[keep],
-                    q_lo=cands.q_lo[keep],
-                    q_hi=cands.q_hi[keep],
-                    a_lo=cands.a_lo[keep],
-                    a_hi=cands.a_hi[keep],
-                )
+                cands = cands.take(keep)
         t1 = time.perf_counter()
         device_data = dev.upload(chunk.codes, panel, panel_cache)
         disp = dispatch_chunk(

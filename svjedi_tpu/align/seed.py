@@ -68,6 +68,24 @@ class Candidates:
     def __len__(self) -> int:
         return len(self.read)
 
+    def take(self, mask: np.ndarray, path_offset: int = 0) -> "Candidates":
+        """Row subset (order preserved; chain blocks stay contiguous)."""
+        path = self.path[mask]
+        if path_offset:
+            path = path + np.int32(path_offset)
+        return Candidates(
+            read=self.read[mask],
+            path=path,
+            strand=self.strand[mask],
+            d0=self.d0[mask],
+            n_anchors=self.n_anchors[mask],
+            chain=self.chain[mask],
+            q_lo=self.q_lo[mask],
+            q_hi=self.q_hi[mask],
+            a_lo=self.a_lo[mask],
+            a_hi=self.a_hi[mask],
+        )
+
 
 @dataclass(frozen=True)
 class ChainParams:
