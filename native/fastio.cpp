@@ -693,4 +693,87 @@ void svt_minimizers_free(void* handle) {
   delete static_cast<MinimizerResult*>(handle);
 }
 
+// ---------------------------------------------------------------------------
+// Decoy suppression inner loop (== svjedi_tpu/align/decoy.py
+// suppress_candidates pair semantics, which remains the tested reference).
+// Inputs are per-CHAIN tables, both sorted by read id; for every panel
+// chain the same-read decoy chains are scanned, the best "at the locus"
+// and best "elsewhere" anchor supports are taken over decoy chains whose
+// read-interval overlap covers >= overlap_frac of the panel chain's
+// interval, and the chain is suppressed when elsewhere strictly wins.
+// Threaded over panel-chain ranges split on read boundaries.
+// ---------------------------------------------------------------------------
+void svt_suppress(int64_t n_p, const int32_t* p_read, const int32_t* p_sup,
+                  const int64_t* p_qlo, const int64_t* p_qhi,
+                  const int32_t* p_cluster, int64_t n_d,
+                  const int32_t* d_read, const int32_t* d_path,
+                  const int8_t* d_strand, const int32_t* d_sup,
+                  const int64_t* d_qlo, const int64_t* d_qhi,
+                  const int64_t* d_tlo, const int64_t* d_thi,
+                  const int64_t* span_lo, const int64_t* span_hi,
+                  int32_t n_chroms, double overlap_frac, int64_t margin,
+                  int32_t n_threads, uint8_t* suppressed) {
+  auto run = [&](int64_t i0, int64_t i1) {
+    int64_t dlo = 0, dhi = 0;
+    for (int64_t i = i0; i < i1; ++i) {
+      suppressed[i] = 0;
+      const int32_t r = p_read[i];
+      // advance the decoy window to this read (both tables read-sorted)
+      if (i == i0 || (i > i0 && p_read[i - 1] != r)) {
+        dlo = std::lower_bound(d_read, d_read + n_d, r) - d_read;
+        dhi = std::upper_bound(d_read + dlo, d_read + n_d, r) - d_read;
+      }
+      if (dlo == dhi) continue;
+      const int64_t plen = p_qhi[i] - p_qlo[i];
+      if (plen <= 0) continue;
+      int32_t best_same = 0, best_other = 0;
+      const int64_t cl_base = (int64_t)p_cluster[i] * n_chroms;
+      for (int64_t d = dlo; d < dhi; ++d) {
+        const int64_t ov_lo = std::max(p_qlo[i], d_qlo[d]);
+        const int64_t ov_hi = std::min(p_qhi[i], d_qhi[d]);
+        if ((double)(ov_hi - ov_lo) < overlap_frac * (double)plen) continue;
+        const int64_t ex_lo = span_lo[cl_base + d_path[d]];
+        const int64_t ex_hi = span_hi[cl_base + d_path[d]];
+        int64_t g1, g2;
+        if (d_strand[d] == 0) {
+          g1 = d_tlo[d] + (ov_lo - d_qlo[d]);
+          g2 = d_tlo[d] + (ov_hi - d_qlo[d]);
+        } else {
+          g2 = d_thi[d] - (ov_lo - d_qlo[d]);
+          g1 = d_thi[d] - (ov_hi - d_qlo[d]);
+        }
+        const bool same = (ex_lo <= ex_hi) && g2 >= ex_lo - margin &&
+                          g1 <= ex_hi + margin;
+        if (same) {
+          best_same = std::max(best_same, d_sup[d]);
+        } else {
+          best_other = std::max(best_other, d_sup[d]);
+        }
+      }
+      if (best_other > std::max(best_same, p_sup[i])) suppressed[i] = 1;
+    }
+  };
+  int T = n_threads > 0 ? n_threads
+                        : (int)std::thread::hardware_concurrency();
+  if (T < 1) T = 1;
+  if ((int64_t)T > n_p) T = (int)(n_p > 0 ? n_p : 1);
+  if (T == 1 || n_p < 4096) {
+    run(0, n_p);
+    return;
+  }
+  std::vector<int64_t> bounds(T + 1, n_p);
+  bounds[0] = 0;
+  for (int t = 1; t < T; ++t) {
+    int64_t b = n_p * t / T;
+    // split on read boundaries so the two-pointer reset stays valid
+    while (b < n_p && b > 0 && p_read[b] == p_read[b - 1]) ++b;
+    bounds[t] = b;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(T);
+  for (int t = 0; t < T; ++t)
+    threads.emplace_back([&, t]() { run(bounds[t], bounds[t + 1]); });
+  for (auto& th : threads) th.join();
+}
+
 }  // extern "C"

@@ -226,6 +226,24 @@ def suppress_candidates(
         return np.ones(n, dtype=bool)
     p_cluster = index.path_cluster[p_path].astype(np.int64)
 
+    # Hot path: the native threaded inner loop (fastio.cpp svt_suppress,
+    # same semantics as the numpy pair path below, which stays as the
+    # tested reference). Chain tables come out read-sorted (chain ids are
+    # assigned in read order); the native call requires it.
+    from ..utils.native import load_native
+
+    native = load_native()
+    if native is not None and hasattr(native._lib, "svt_suppress"):
+        suppressed_rows = native.suppress(
+            p_read, p_sup, p_qlo, p_qhi, p_cluster,
+            d_read, d_path, d_strand, d_sup, d_qlo, d_qhi, d_tlo, d_thi,
+            decoy.span_lo, decoy.span_hi, len(decoy.chrom_of_path),
+            decoy.overlap_frac, decoy.margin, n_threads=threads,
+        ).astype(bool)
+        if not suppressed_rows.any():
+            return np.ones(n, dtype=bool)
+        return ~np.isin(cands.chain, p_chain[suppressed_rows])
+
     # Expand (panel chain, same-read decoy chain) pairs; everything below
     # is vectorized over pairs (the per-chain Python loop cost ~1.3 ms per
     # read at test-dir scale — the whole align budget).

@@ -122,12 +122,21 @@ def upload(
     panel,
     panel_cache: dict = None,
     max_window: int = 30976,
+    device=None,
 ) -> DeviceData:
     """Upload a read chunk + panel to the device (panel cached across chunks).
 
     Reads are 2-bit packed before transfer (4x less tunnel/PCIe traffic)
     when N-free; the device unpacks and builds the fwd++rc layout.
+    ``device`` pins the buffers to one chip of a multi-device mesh (the
+    data-parallel chunk round-robin, align/pipeline.py); callers then keep
+    one ``panel_cache`` per device. None = the default device.
     """
+    import jax
+
+    put = (lambda x: jax.device_put(x, device)) if device is not None else (
+        jnp.asarray
+    )
     pad = max_window + 4 * ALIGN
     if panel_cache is not None and "flat" in panel_cache:
         panel_padded = panel_cache["flat"]
@@ -147,7 +156,7 @@ def upload(
         for p in panel.paths:
             flat[pos : pos + p.length] = p.seq
             pos += p.length
-        panel_padded = jnp.asarray(flat)
+        panel_padded = put(flat)
         pw, pn = _pack_words_jit(panel_padded)
         if panel_cache is not None:
             panel_cache["flat"] = panel_padded
@@ -165,7 +174,7 @@ def upload(
     # Sentinel tail sized so the total is ALIGN-aligned (2*n_cap + pad_tot).
     pad_tot = pad + (-(2 * n_cap + pad)) % ALIGN
     reads2 = _expand_reads_raw(
-        jnp.asarray(reads_codes), n_cap=n_cap, pad=pad_tot
+        put(reads_codes), n_cap=n_cap, pad=pad_tot
     )
     rw, rn = _pack_words_jit(reads2)
     return DeviceData(
@@ -177,6 +186,11 @@ def upload(
         pad=pad,
         packed=(rw, rn, pw, pn),
     )
+
+
+def device_of(data: DeviceData):
+    """The device a production upload is pinned to (None when uncommitted)."""
+    return getattr(data.reads2, "device", None)
 
 
 #: Row order of the packed metadata matrix consumed by
@@ -370,15 +384,19 @@ def flat_meta_block(
     )
 
 
-def upload_flat_meta(blocks) -> "jnp.ndarray":
+def upload_flat_meta(blocks, device=None) -> "jnp.ndarray":
     """Concatenate batch blocks and upload with ONE transfer.
 
     The total length is padded to a power-of-two class so the flat buffer
     re-lowers the prep jit only O(log) times across workloads."""
+    import jax
+
     flat = np.concatenate(blocks) if blocks else np.zeros(1, np.int32)
     cap = 1 << max(12, (len(flat) - 1).bit_length())
     if cap != len(flat):
         flat = np.concatenate([flat, np.zeros(cap - len(flat), np.int32)])
+    if device is not None:
+        return jax.device_put(flat, device)
     return jnp.asarray(flat)
 
 

@@ -247,6 +247,39 @@ class ChunkDispatch:
     block_score: Optional[np.ndarray] = None
 
 
+def candidate_layout(
+    reads: ReadSet,
+    index: PanelIndex,
+    cands: Candidates,
+    cfg: AlignConfig,
+    device_data,
+):
+    """Per-candidate device-window metadata (align/device.py invariants).
+
+    Returns (rw_start, m32, keep, q_start, t_start, t_lo, t_hi): the
+    oriented-read window start, window length, junction-reachability keep
+    mask, and the META_ROWS coordinates into the uploaded device layout.
+    Reverse-strand windows address the rc half with positive stride. Shared
+    by the chunk dispatcher and the on-mesh count step (dist/engine.py).
+    """
+    B = cfg.band
+    rw_start, rw_end, m, keep = candidate_windows(reads, index, cands, cfg)
+    N = device_data.n_bases
+    read_off = reads.offsets[cands.read]
+    read_end = reads.offsets[cands.read + 1]
+    q_start = np.where(
+        cands.strand == 0,
+        read_off + rw_start,
+        N + (N - read_end) + rw_start,
+    ).astype(np.int32)
+    t_start_rel = cands.d0.astype(np.int64) + rw_start - B // 2
+    path_start = device_data.panel_start[cands.path]
+    t_start = (path_start + t_start_rel).astype(np.int32)
+    t_lo = path_start.astype(np.int32)
+    t_hi = (path_start + device_data.panel_len[cands.path]).astype(np.int32)
+    return rw_start, m.astype(np.int32), keep, q_start, t_start, t_lo, t_hi
+
+
 def dispatch_chunk(
     reads: ReadSet,
     panel: Panel,
@@ -281,30 +314,15 @@ def dispatch_chunk(
     if len(cands) == 0:
         return disp
 
-    rw_start, rw_end, m, keep = candidate_windows(reads, index, cands, cfg)
+    rw_start, m32, keep, q_start, t_start, t_lo, t_hi = candidate_layout(
+        reads, index, cands, cfg, device_data
+    )
     disp.rw_start = rw_start
     order = np.flatnonzero(keep)
     bucket_of = np.array(
-        [_pick_bucket(int(v), cfg.buckets) for v in m[order]], dtype=np.int64
+        [_pick_bucket(int(v), cfg.buckets) for v in m32[order]],
+        dtype=np.int64,
     )
-
-    # Per-candidate window metadata (indices into the device layout; see
-    # align/device.py invariants). Reverse-strand windows address the rc
-    # half with positive stride.
-    N = device_data.n_bases
-    read_off = reads.offsets[cands.read]
-    read_end = reads.offsets[cands.read + 1]
-    q_start = np.where(
-        cands.strand == 0,
-        read_off + rw_start,
-        N + (N - read_end) + rw_start,
-    ).astype(np.int32)
-    t_start_rel = cands.d0.astype(np.int64) + rw_start - B // 2
-    path_start = device_data.panel_start[cands.path]
-    t_start = (path_start + t_start_rel).astype(np.int32)
-    t_lo = path_start.astype(np.int32)
-    t_hi = (path_start + device_data.panel_len[cands.path]).astype(np.int32)
-    m32 = m.astype(np.int32)
 
     disp.q_start = q_start
     disp.t_start = t_start
@@ -343,7 +361,7 @@ def dispatch_chunk(
                 blocks.append(dev.flat_meta_block(meta, P))
                 plans.append((sel, off, Ppad, int(bucket)))
                 off += dev.flat_block_len(Ppad)
-        flat = dev.upload_flat_meta(blocks)
+        flat = dev.upload_flat_meta(blocks, device=dev.device_of(device_data))
         for sel, off_b, Ppad, bucket in plans:
             out = dev.window_score_v3_fwd_flat(
                 device_data, flat, off_b, Ppad, bucket, band=B,
@@ -367,7 +385,7 @@ def dispatch_chunk(
             out = dev.window_score_packed(
                 device_data.reads2,
                 device_data.panel_padded,
-                jnp.asarray(meta),
+                jax.device_put(meta, dev.device_of(device_data)),
                 bucket=int(bucket),
                 band=B,
                 params=params,
@@ -378,19 +396,30 @@ def dispatch_chunk(
 
 
 def _bulk_fetch(outs: Sequence[object]) -> List[np.ndarray]:
-    """Fetch many device arrays with ONE device→host transfer."""
+    """Fetch many device arrays with ONE device→host transfer per device.
+
+    Results may live on different chips (data-parallel chunk round-robin);
+    concatenation must stay per-device, so outputs are grouped by device
+    and each group fetched with one transfer.
+    """
     import jax.numpy as jnp
 
     if not outs:
         return []
-    flats = [o.reshape(-1) for o in outs]
-    host = np.asarray(flats[0] if len(flats) == 1 else jnp.concatenate(flats))
-    res: List[np.ndarray] = []
-    off = 0
-    for o in outs:
-        size = int(np.prod(o.shape))
-        res.append(host[off : off + size].reshape(o.shape))
-        off += size
+    by_dev: Dict[object, List[int]] = {}
+    for i, o in enumerate(outs):
+        by_dev.setdefault(getattr(o, "device", None), []).append(i)
+    res: List[Optional[np.ndarray]] = [None] * len(outs)
+    for idxs in by_dev.values():
+        flats = [outs[i].reshape(-1) for i in idxs]
+        host = np.asarray(
+            flats[0] if len(flats) == 1 else jnp.concatenate(flats)
+        )
+        off = 0
+        for i in idxs:
+            size = int(np.prod(outs[i].shape))
+            res[i] = host[off : off + size].reshape(outs[i].shape)
+            off += size
     return res
 
 
@@ -640,7 +669,9 @@ def dispatch_rev(
         )
         plans.append((sub, csub, off, Ppad, int(bucket)))
         off += dev.flat_block_len(Ppad)
-    flat = dev.upload_flat_meta(blocks)
+    flat = dev.upload_flat_meta(
+        blocks, device=dev.device_of(disp.device_data)
+    )
     for sub, csub, off_b, Ppad, bucket in plans:
         out = dev.window_score_v3_rev_flat(
             disp.device_data, flat, off_b, Ppad, bucket, band=cfg.band,
@@ -1009,6 +1040,7 @@ def align_and_count(
     chunk_reads: int = 16384,
     batch_size: int = 32768,
     decoy=None,
+    devices: Optional[Sequence] = None,
 ):
     """Full aligner stage: reads + panel → (counts, audit, winners).
 
@@ -1016,6 +1048,12 @@ def align_and_count(
     on sandboxed hosts where first-touch page allocation is expensive),
     memory stays bounded, and the chunk loop is the natural per-host unit of
     the data-parallel distribution model (ARCHITECTURE.md).
+
+    ``devices``: data-parallel multi-chip mode — chunk ``i`` is uploaded,
+    DP-scored, and reverse-passed on ``devices[i % len(devices)]`` (panel
+    replicated per chip, one cache each); the per-(SV, allele) count merge
+    — the pipeline's only cross-read reduction (SURVEY §2.2) — is an
+    associative sum over chunks, so per-chip results combine exactly.
     """
     import time
 
@@ -1031,7 +1069,9 @@ def align_and_count(
     counts: Dict[str, List[int]] = {}
     audit: Dict[str, List[List[str]]] = {}
     winner_parts: List[Winners] = []
-    panel_cache: Dict = {}
+    panel_caches: List[Dict] = [
+        {} for _ in range(max(1, len(devices or [])))
+    ]
 
     # One minimizer scan serves panel AND decoy seeding: the merged index
     # carries decoy chromosome "paths" after the panel paths, and the rows
@@ -1132,7 +1172,13 @@ def align_and_count(
             if not keep.all():
                 cands = cands.take(keep)
         t1 = time.perf_counter()
-        device_data = dev.upload(chunk.codes, panel, panel_cache)
+        if devices:
+            di = (start // chunk_reads) % len(devices)
+            device_data = dev.upload(
+                chunk.codes, panel, panel_caches[di], device=devices[di]
+            )
+        else:
+            device_data = dev.upload(chunk.codes, panel, panel_caches[0])
         disp = dispatch_chunk(
             chunk, panel, index, cands, align_cfg, device_data,
             batch_size=batch_size,

@@ -48,6 +48,12 @@ def _add_run(sub):
         help="multi-host data parallelism: process read block I of N and "
              "write a shard audit table; finish with the merge command",
     )
+    p.add_argument(
+        "--data-shards", type=int, default=1, metavar="N",
+        help="single-host multi-chip data parallelism: round-robin read "
+             "chunks over the first N local devices (panel replicated per "
+             "chip; counts merge associatively)",
+    )
     p.add_argument("--profile-dir", default=None,
                    help="capture a JAX profiler trace into this directory")
     p.add_argument(
@@ -124,7 +130,9 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     if args.command == "run":
-        from .config import AlignConfig, GenotypeConfig, PipelineConfig
+        from .config import (
+            AlignConfig, DistConfig, GenotypeConfig, PipelineConfig,
+        )
         from .pipeline import run_pipeline
 
         print("Constructing variation graph and panel...")
@@ -139,6 +147,7 @@ def main(argv=None) -> int:
             prefix=args.prefix,
             align=AlignConfig(threads=max(0, args.threads)),
             genotype=GenotypeConfig(min_support=args.minsupport, err=args.err),
+            dist=DistConfig(data_shards=max(1, args.data_shards)),
             shard=shard,
             keep_artifacts=not args.no_artifacts,
             resume=args.resume,

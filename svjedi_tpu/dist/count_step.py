@@ -21,7 +21,6 @@ from typing import Dict, NamedTuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from ..align.extend import DPParams, band_dp_batch
 
@@ -166,7 +165,7 @@ def make_sharded_count_step(
 
     spec_data = P("data")
     return jax.jit(
-        shard_map(
+        jax.shard_map(
             step,
             mesh=mesh,
             in_specs=(
@@ -174,6 +173,6 @@ def make_sharded_count_step(
                 P(),  # owned table replicated
             ),
             out_specs=P(),  # counts replicated
-            check_rep=False,
+            check_vma=False,
         )
     )

@@ -149,6 +149,25 @@ def run_pipeline(cfg: PipelineConfig) -> Dict:
     stats.set("n_reads", reads.n_reads)
     stats.set("read_bases", int(reads.lengths.sum()))
 
+    # Single-host multi-chip data parallelism (DistConfig.data_shards):
+    # read chunks round-robin over the first N local devices, panel
+    # replicated per chip; the per-(SV, allele) count sum — the pipeline's
+    # only cross-read reduction — merges per-chip results exactly
+    # (SURVEY §2.2). Chunk size shrinks so every chip gets work.
+    devices = None
+    chunk_reads = 16384
+    if cfg.dist.data_shards > 1:
+        import jax
+
+        devs = jax.devices()
+        n_dev = min(cfg.dist.data_shards, len(devs))
+        if n_dev > 1:
+            devices = devs[:n_dev]
+            chunk_reads = min(
+                chunk_reads, max(512, -(-reads.n_reads // n_dev))
+            )
+            stats.set("data_shards", n_dev)
+
     profiling = cfg.profile_dir is not None
     if profiling:
         import jax
@@ -156,7 +175,8 @@ def run_pipeline(cfg: PipelineConfig) -> Dict:
         jax.profiler.start_trace(str(cfg.profile_dir))
     with stats.timer("align"):
         counts, audit, winners = align_and_count(
-            reads, panel, index, cfg.align, cfg.genotype, decoy=decoy
+            reads, panel, index, cfg.align, cfg.genotype, decoy=decoy,
+            devices=devices, chunk_reads=chunk_reads,
         )
     if profiling:
         import jax

@@ -83,6 +83,18 @@ class _NativeIO:
             ]
             lib.svt_minimizers_free.restype = None
             lib.svt_minimizers_free.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "svt_suppress"):
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            lib.svt_suppress.restype = None
+            lib.svt_suppress.argtypes = [
+                ctypes.c_int64, i32p, i32p, i64p, i64p, i32p,
+                ctypes.c_int64, i32p, i32p,
+                ctypes.POINTER(ctypes.c_int8), i32p, i64p, i64p, i64p, i64p,
+                i64p, i64p,
+                ctypes.c_int32, ctypes.c_double, ctypes.c_int64,
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
+            ]
         lib.svt_read_sequences.restype = ctypes.c_void_p
         lib.svt_read_sequences.argtypes = [ctypes.c_char_p]
         lib.svt_result_n_reads.restype = ctypes.c_int64
@@ -258,6 +270,64 @@ class _NativeIO:
                     q_hi, a_lo, a_hi)
         finally:
             lib.svt_seed_free(handle)
+
+    def suppress(
+        self,
+        p_read, p_sup, p_qlo, p_qhi, p_cluster,
+        d_read, d_path, d_strand, d_sup, d_qlo, d_qhi, d_tlo, d_thi,
+        span_lo, span_hi, n_chroms: int, overlap_frac: float, margin: int,
+        n_threads: int = 0,
+    ) -> Optional[np.ndarray]:
+        """Native decoy-suppression inner loop (align/decoy.py semantics).
+
+        Both chain tables must be sorted by read id. Returns a uint8
+        suppressed flag per panel chain, or None when the library predates
+        svt_suppress.
+        """
+        lib = self._lib
+        if not hasattr(lib, "svt_suppress"):
+            return None
+
+        def arr(a, dt):
+            return np.ascontiguousarray(a, dtype=dt)
+
+        i32 = ctypes.POINTER(ctypes.c_int32)
+        i64 = ctypes.POINTER(ctypes.c_int64)
+        p_read = arr(p_read, np.int32)
+        d_read_chk = np.asarray(d_read)
+        if (len(p_read) and (np.diff(p_read) < 0).any()) or (
+            len(d_read_chk) and (np.diff(d_read_chk) < 0).any()
+        ):
+            raise ValueError("svt_suppress requires read-sorted chain tables")
+        p_sup = arr(p_sup, np.int32)
+        p_qlo, p_qhi = arr(p_qlo, np.int64), arr(p_qhi, np.int64)
+        p_cluster = arr(p_cluster, np.int32)
+        d_read = arr(d_read, np.int32)
+        d_path = arr(d_path, np.int32)
+        d_strand = arr(d_strand, np.int8)
+        d_sup = arr(d_sup, np.int32)
+        d_qlo, d_qhi = arr(d_qlo, np.int64), arr(d_qhi, np.int64)
+        d_tlo, d_thi = arr(d_tlo, np.int64), arr(d_thi, np.int64)
+        span_lo = arr(span_lo, np.int64)
+        span_hi = arr(span_hi, np.int64)
+        out = np.zeros(len(p_read), dtype=np.uint8)
+        lib.svt_suppress(
+            ctypes.c_int64(len(p_read)),
+            p_read.ctypes.data_as(i32), p_sup.ctypes.data_as(i32),
+            p_qlo.ctypes.data_as(i64), p_qhi.ctypes.data_as(i64),
+            p_cluster.ctypes.data_as(i32),
+            ctypes.c_int64(len(d_read)),
+            d_read.ctypes.data_as(i32), d_path.ctypes.data_as(i32),
+            d_strand.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            d_sup.ctypes.data_as(i32),
+            d_qlo.ctypes.data_as(i64), d_qhi.ctypes.data_as(i64),
+            d_tlo.ctypes.data_as(i64), d_thi.ctypes.data_as(i64),
+            span_lo.ctypes.data_as(i64), span_hi.ctypes.data_as(i64),
+            ctypes.c_int32(n_chroms), ctypes.c_double(overlap_frac),
+            ctypes.c_int64(margin), ctypes.c_int32(n_threads),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return out
 
     def read_sequences(
         self, path: str

@@ -61,6 +61,52 @@ def _run(tmp, vcf, fa, fq, decoy: bool):
     return run_pipeline(cfg)["counts"]
 
 
+def test_native_suppression_matches_numpy_reference():
+    """The threaded C++ inner loop must equal the numpy pair semantics."""
+    import svjedi_tpu.utils.native as native_mod
+    from svjedi_tpu.align import decoy as D
+    from svjedi_tpu.align.index import build_panel_index, merge_indexes
+    from svjedi_tpu.align.seed import ChainParams, seed_candidates
+    from svjedi_tpu.config import AlignConfig
+    from svjedi_tpu.graph.build import build_graph
+    from svjedi_tpu.graph.cluster import build_panel
+    from svjedi_tpu.graph.svparse import parse_vcf_svs
+
+    if native_mod.load_native() is None:
+        import pytest
+
+        pytest.skip("native library not built")
+
+    from svjedi_tpu.io.fasta import read_fasta
+    from svjedi_tpu.io.fastq import read_reads
+
+    cfg = AlignConfig()
+    with tempfile.TemporaryDirectory() as tmp:
+        vcf, fa, fq = _build_case(tmp)  # paralog: suppression actually fires
+        chroms = read_fasta(fa)
+        parsed = parse_vcf_svs(vcf, {c: len(x) for c, x in chroms.items()})
+        reads = read_reads(fq)
+    graph = build_graph(chroms, parsed)
+    panel = build_panel(graph, flank=cfg.flank, cluster_gap=cfg.cluster_gap)
+    index = build_panel_index(panel, k=cfg.kmer, w=cfg.window)
+    decoy = D.build_decoy(panel, k=cfg.kmer, w=cfg.window)
+    combo = merge_indexes(index, decoy.index)
+    cp = ChainParams()
+    cands = seed_candidates(reads, combo, chain_params=cp)
+    is_panel = cands.path < len(index.path_len)
+    dec = cands.take(~is_panel, path_offset=-len(index.path_len))
+    pc = cands.take(is_panel)
+    k_native = D.suppress_candidates(reads, pc, index, decoy, cp, dec=dec)
+    real = native_mod.load_native
+    native_mod.load_native = lambda: None
+    try:
+        k_numpy = D.suppress_candidates(reads, pc, index, decoy, cp, dec=dec)
+    finally:
+        native_mod.load_native = real
+    assert (~k_native).sum() > 0  # scenario exercises real suppression
+    np.testing.assert_array_equal(k_native, k_numpy)
+
+
 def test_paralog_duplication_gives_no_false_alt_support():
     with tempfile.TemporaryDirectory() as tmp:
         vcf, fa, fq = _build_case(tmp)
