@@ -44,6 +44,11 @@ class Winners:
     matches: Optional[np.ndarray] = None
     blocklen: Optional[np.ndarray] = None
     mapq: Optional[np.ndarray] = None
+    #: Chain-anchor alignment span in path coordinates (outermost anchor
+    #: extents; the analog of what a chain-level mapper like minigraph
+    #: reports as Ts/Te). Set by finalize_chunk; chunk-local diagnostics.
+    anchor_ts: Optional[np.ndarray] = None
+    anchor_te: Optional[np.ndarray] = None
 
 
 def revcomp_codes(codes: np.ndarray) -> np.ndarray:
@@ -347,7 +352,7 @@ def dispatch_chunk(
             # Sort by window length: each 128-problem kernel step then runs
             # only ceil(max m in step) rows (the per-step row bound) instead
             # of the full bucket — m-homogeneous groups make the bound tight.
-            sel_all = sel_all[np.argsort(m[sel_all], kind="stable")]
+            sel_all = sel_all[np.argsort(m32[sel_all], kind="stable")]
             for lo in range(0, len(sel_all), batch_size):
                 sel = sel_all[lo : lo + batch_size]
                 P = len(sel)
@@ -599,6 +604,10 @@ def finalize_chunk(
         qe=out_qe[last],
         ts=out_ts[win],
         te=out_te[last],
+        anchor_ts=cands.a_lo[win].astype(np.int64)
+        + cands.d0[win].astype(np.int64),
+        anchor_te=cands.a_hi[last].astype(np.int64) - 1
+        + cands.d0[last].astype(np.int64),
     ), win
 
 
@@ -810,7 +819,7 @@ def prune_secondaries(
             )
         ]
     )
-    for f in ("matches", "blocklen", "mapq"):
+    for f in ("matches", "blocklen", "mapq", "anchor_ts", "anchor_te"):
         v = getattr(winners, f)
         if v is not None:
             setattr(out, f, v[keep])
@@ -1204,7 +1213,7 @@ def align_and_count(
                 )
             ]
         )
-        for f in ("matches", "blocklen", "mapq"):
+        for f in ("matches", "blocklen", "mapq", "anchor_ts", "anchor_te"):
             if all(getattr(w, f) is not None for w in winner_parts):
                 setattr(
                     merged, f,
