@@ -342,19 +342,27 @@ def window_score_v3_rev(
 # (bucket, P) shapes).
 
 
-def _prep_v3_flat(rw, rn, pw, pn, flat, off: int, Ppad: int,
+def _prep_v3_flat(rw, rn, pw, pn, flat, off, Ppad: int,
                   bucket: int, band: int):
+    """Slice one batch block out of the flat buffer.
+
+    ``off`` is a TRACED scalar (block offsets are running sums of preceding
+    block lengths, which vary with the per-round bucket/Ppad mix — a static
+    offset would re-lower this program once per distinct offset on
+    heterogeneous workloads); only the shape-bearing Ppad/bucket/band stay
+    static."""
     grid = Ppad // 128
-    nvb = jax.lax.slice(flat, (off,), (off + 1 + grid,))
-    meta = jax.lax.slice(
-        flat, (off + 1 + grid,), (off + 1 + grid + 5 * Ppad,)
+    off = jnp.asarray(off, jnp.int32)
+    nvb = jax.lax.dynamic_slice_in_dim(flat, off, 1 + grid)
+    meta = jax.lax.dynamic_slice_in_dim(
+        flat, off + 1 + grid, 5 * Ppad
     ).reshape(5, Ppad)
     qT, tT = _prep_v3_windows_packed(rw, rn, pw, pn, meta, bucket, band)
     return qT, tT, nvb
 
 
 _prep_v3_flat_jit = functools.partial(
-    jax.jit, static_argnames=("off", "Ppad", "bucket", "band")
+    jax.jit, static_argnames=("Ppad", "bucket", "band")
 )(_prep_v3_flat)
 
 

@@ -21,16 +21,34 @@ _BASES = "ACGT"
 class SimSV:
     chrom: str
     pos: int  # 1-based VCF POS
-    svtype: str  # DEL / INS / INV
+    svtype: str  # DEL / INS / INV / BND
     length: int
     genotype: str  # "0/0", "0/1", "1/1"
     ins_seq: str = ""
+    #: BND only: mate locus, ALT flavor, and the translocation event id
+    #: (records of one reciprocal event share it and the genotype).
+    mate_chrom: str = ""
+    mate_pos: int = 0  # 1-based position inside the ALT string
+    flavor: str = ""  # "t[p[", "t]p]", "]p]t", "[p[t"
+    event: int = -1
 
     @property
     def end(self) -> int:
-        if self.svtype == "INS":
+        if self.svtype in ("INS", "BND"):
             return self.pos + 1
         return self.pos + self.length
+
+    @property
+    def alt(self) -> str:
+        if self.svtype != "BND":
+            raise ValueError("alt only defined for BND")
+        m = f"{self.mate_chrom}:{self.mate_pos}"
+        return {
+            "t[p[": f"N[{m}[",
+            "t]p]": f"N]{m}]",
+            "]p]t": f"]{m}]N",
+            "[p[t": f"[{m}[N",
+        }[self.flavor]
 
 
 @dataclass
@@ -93,10 +111,105 @@ def simulate_svs(
     return svs
 
 
+def _rc(seq: str) -> str:
+    return seq.translate(str.maketrans("ACGT", "TGCA"))[::-1]
+
+
+def simulate_translocations(
+    rng: np.random.Generator,
+    chroms: Dict[str, str],
+    n_events: int,
+    margin: int = 5000,
+) -> List[SimSV]:
+    """Reciprocal translocation events as VCF breakend record pairs.
+
+    Each inter-chromosomal event joins (cA, pA) to (cB, pB) and emits the
+    two junction records of the two derivative chromosomes, mirroring the
+    reference test bundle's pairs (test-dir/test.vcf id35-id40):
+
+    - non-inverted: ``cA pA N[cB:pB+1[``  (der1 = cA[:pA] ++ cB[pB:]) and
+      ``cB pB N[cA:pA+1[``               (der2 = cB[:pB] ++ cA[pA:]);
+    - inverted: ``cA pA N]cB:pB]``       (der1 = cA[:pA] ++ rc(cB[:pB]))
+      and ``cA pA+1 [cB:pB+1[N``         (der2 = rc(cB[pB:]) ++ cA[pA:]).
+
+    Odd leftover slots become intra-chromosomal single-junction events
+    ``c p1 N[c:p2+1[`` (der = c[:p1] ++ c[p2:], the id24/id30 pattern).
+    Every chromosome is used by at most one event (the derivative
+    construction in :func:`apply_haplotype` replaces whole chromosomes).
+    """
+    genotypes = ["0/0", "0/1", "1/1"]
+    names = [c for c in chroms if len(chroms[c]) >= 3 * margin]
+    rng.shuffle(names)
+    out: List[SimSV] = []
+    ev = 0
+    while ev < n_events and names:
+        g = genotypes[int(rng.integers(3))]
+        if len(names) >= 2 and rng.random() < 0.75:
+            ca, cb = names.pop(), names.pop()
+            pa = int(rng.integers(margin, len(chroms[ca]) - margin))
+            pb = int(rng.integers(margin, len(chroms[cb]) - margin))
+            if rng.random() < 0.5:
+                out.append(SimSV(ca, pa, "BND", 0, g, mate_chrom=cb,
+                                 mate_pos=pb + 1, flavor="t[p[", event=ev))
+                out.append(SimSV(cb, pb, "BND", 0, g, mate_chrom=ca,
+                                 mate_pos=pa + 1, flavor="t[p[", event=ev))
+            else:
+                out.append(SimSV(ca, pa, "BND", 0, g, mate_chrom=cb,
+                                 mate_pos=pb, flavor="t]p]", event=ev))
+                out.append(SimSV(ca, pa + 1, "BND", 0, g, mate_chrom=cb,
+                                 mate_pos=pb + 1, flavor="[p[t", event=ev))
+        else:
+            c = names.pop()
+            clen = len(chroms[c])
+            p1 = int(rng.integers(margin, clen - 2 * margin))
+            p2 = int(rng.integers(p1 + margin, clen - margin))
+            out.append(SimSV(c, p1, "BND", 0, g, mate_chrom=c,
+                             mate_pos=p2 + 1, flavor="t[p[", event=ev))
+        ev += 1
+    return out
+
+
+def _apply_bnd_events(
+    chroms: Dict[str, str], bnds: Sequence[SimSV], hap: int
+) -> Dict[str, str]:
+    """Replace event chromosomes with their derivatives for carriers."""
+    out = dict(chroms)
+    by_event: Dict[int, List[SimSV]] = {}
+    for sv in bnds:
+        by_event.setdefault(sv.event, []).append(sv)
+    for recs in by_event.values():
+        g = recs[0].genotype
+        carried = g == "1/1" or (g == "0/1" and hap == 1)
+        if not carried:
+            continue
+        a = recs[0]
+        ca = chroms[a.chrom]
+        if a.mate_chrom == a.chrom:  # intra: single junction
+            out[a.chrom] = ca[: a.pos] + ca[a.mate_pos - 1 :]
+        elif a.flavor == "t[p[":  # reciprocal, direct orientation
+            b = recs[1]
+            cb = chroms[b.chrom]
+            out[a.chrom] = ca[: a.pos] + cb[a.mate_pos - 1 :]
+            out[b.chrom] = cb[: b.pos] + ca[b.mate_pos - 1 :]
+        else:  # inverted pair (t]p] + [p[t, both records on a.chrom)
+            b = recs[1]
+            cb = chroms[a.mate_chrom]
+            out[a.chrom] = ca[: a.pos] + _rc(cb[: a.mate_pos])
+            out[a.mate_chrom] = _rc(cb[b.mate_pos - 1 :]) + ca[b.pos - 1 :]
+    return out
+
+
 def apply_haplotype(
     chroms: Dict[str, str], svs: Sequence[SimSV], hap: int
 ) -> Dict[str, str]:
-    """Apply the alt alleles carried by haplotype ``hap`` (0 or 1)."""
+    """Apply the alt alleles carried by haplotype ``hap`` (0 or 1).
+
+    BND (translocation) events replace whole chromosomes with derivatives;
+    the generator guarantees BND chromosomes carry no point SVs, so the
+    original coordinates stay valid.
+    """
+    bnds = [sv for sv in svs if sv.svtype == "BND"]
+    svs = [sv for sv in svs if sv.svtype != "BND"]
     out = {}
     for chrom, seq in chroms.items():
         edits = []
@@ -120,6 +233,8 @@ def apply_haplotype(
                 rc = segment.translate(str.maketrans("ACGT", "TGCA"))[::-1]
                 new = new[: sv.pos] + rc + new[sv.pos + sv.length :]
         out[chrom] = new
+    if bnds:
+        out = _apply_bnd_events(out, bnds, hap)
     return out
 
 
@@ -128,10 +243,28 @@ def simulate(
     chrom_lengths: Dict[str, int],
     n_svs: int,
     sv_types: Sequence[str] = ("DEL", "INS", "INV"),
+    n_bnd_events: int = 0,
 ) -> Simulation:
+    """Genome + SV truth set + haplotypes.
+
+    With ``"BND" in sv_types`` (or explicit ``n_bnd_events``), reciprocal
+    translocation events are placed first, each consuming its chromosomes
+    whole; the remaining point-SV types go on untouched chromosomes only.
+    """
     rng = np.random.default_rng(seed)
     chroms = random_genome(rng, chrom_lengths)
-    svs = simulate_svs(rng, chroms, n_svs, sv_types)
+    bnds: List[SimSV] = []
+    point_types = tuple(t for t in sv_types if t != "BND")
+    if "BND" in sv_types and n_bnd_events == 0:
+        n_bnd_events = max(1, n_svs // 8)
+    if n_bnd_events:
+        bnds = simulate_translocations(rng, chroms, n_bnd_events)
+    used = {sv.chrom for sv in bnds} | {sv.mate_chrom for sv in bnds}
+    free_chroms = {c: s for c, s in chroms.items() if c not in used}
+    svs: List[SimSV] = []
+    if point_types and free_chroms and n_svs > len(bnds):
+        svs = simulate_svs(rng, free_chroms, n_svs - len(bnds), point_types)
+    svs = sorted(svs + bnds, key=lambda s: (s.chrom, s.pos))
     haps = (apply_haplotype(chroms, svs, 0), apply_haplotype(chroms, svs, 1))
     return Simulation(chroms=chroms, svs=svs, haplotypes=haps)
 
@@ -148,6 +281,8 @@ def write_truth_vcf(sim: Simulation, path) -> None:
                 alt, svlen = "<DEL>", -sv.length
             elif sv.svtype == "INV":
                 alt, svlen = "<INV>", 0
+            elif sv.svtype == "BND":
+                alt, svlen = sv.alt, 0
             else:
                 alt, svlen = sv.ins_seq, sv.length
             fh.write(

@@ -35,6 +35,13 @@ def test_v3_matches_reference():
     for key in ("qs", "ts", "qe", "te"):
         span_match &= np.asarray(ours[key]) == np.asarray(ref[key])
     assert span_match.mean() >= 0.9
+    # Every disagreeing span must still be an optimal-alignment span:
+    # clamping the problem to the claimed rectangle attains the full score.
+    from _span_check import assert_spans_optimal
+
+    assert_spans_optimal(
+        q, t, B, DPParams(), ours, np.flatnonzero(~span_match)
+    )
 
 
 def test_prep_v3_windows_matches_gather():

@@ -113,5 +113,25 @@ def test_dma_kernel_matches_gather_interpret():
         agree &= np.asarray(out[key]) == np.asarray(ref[key])
     # Scores are asserted identical above; span endpoints may differ only
     # when several optimal alignments tie (random data, small P → allow a
-    # couple of tie cases).
+    # couple of tie cases)...
     assert agree.mean() >= 0.7
+    # ...and every tie-case span must itself attain the optimal score on
+    # the clamped problem (no blind mismatch budget).
+    from _span_check import assert_spans_optimal
+
+    reads2 = np.asarray(data.reads2)
+    panel_padded = np.asarray(data.panel_padded)
+    P = len(q_start)
+    q = np.full((P, bucket), 4, np.int8)
+    t = np.full((P, bucket + band), 4, np.int8)
+    for p in range(P):
+        win = reads2[q_start[p] : q_start[p] + bucket].copy()
+        win[m[p] :] = 4
+        q[p] = win
+        tw = panel_padded[t_start[p] : t_start[p] + bucket + band].copy()
+        pos = t_start[p] + np.arange(bucket + band)
+        tw[(pos < t_lo[p]) | (pos >= t_hi[p])] = 4
+        t[p] = tw
+    assert_spans_optimal(
+        q, t, band, DPParams(), out, np.flatnonzero(~agree)
+    )
