@@ -1102,9 +1102,78 @@ def align_and_count(
     flush_every = 32
     pending: List[Tuple[int, ReadSet, ChunkDispatch]] = []
 
+    def accumulate(start, chunk, disp, winners):
+        winners = prune_secondaries(winners, chunk, align_cfg)
+        if collect_audit:
+            compute_winner_stats(chunk, panel, winners, align_cfg)
+        chunk_counts, chunk_audit = count_support(
+            panel, winners, chunk, genotype_cfg.d_over, collect_audit
+        )
+        for tag, pair in chunk_counts.items():
+            entry = counts.setdefault(tag, [0, 0])
+            entry[0] += pair[0]
+            entry[1] += pair[1]
+        for tag, pair in chunk_audit.items():
+            entry = audit.setdefault(tag, [[], []])
+            entry[0].extend(pair[0])
+            entry[1].extend(pair[1])
+        winners.read = winners.read + start  # rebase to global read ids
+        winner_parts.append(winners)
+        if timings is not None:
+            timings["n_winners"] += int(len(winners.read))
+
+    def process_one(start, chunk, disp):
+        """Full single-chunk path (the per-chunk retry unit)."""
+        (host_rows,) = collect_outs([disp])
+        winners, win = finalize_chunk(chunk, index, align_cfg, disp, host_rows)
+        dispatch_rev(align_cfg, disp, winners, win)
+        (rev_rows,) = collect_rev([disp])
+        patch_rev(align_cfg, disp, winners, rev_rows)
+        accumulate(start, chunk, disp, winners)
+
+    def flush_retry():
+        """Per-shard recovery (SURVEY §5.3): the batched fetch failed (a
+        tunnel/device hiccup poisons every in-flight buffer), so each
+        pending chunk is re-dispatched from its kept candidates and
+        processed alone, with one retry."""
+        import sys
+
+        for start, chunk, disp in pending:
+            for attempt in (0, 1):
+                try:
+                    d2 = dispatch_chunk(
+                        chunk, panel, index, disp.cands, align_cfg,
+                        disp.device_data, batch_size=batch_size,
+                    )
+                    process_one(start, chunk, d2)
+                    break
+                except Exception:
+                    if attempt:
+                        raise
+                    print(
+                        f"[align] WARNING: chunk@{start} failed; retrying",
+                        file=sys.stderr,
+                    )
+                    if timings is not None:
+                        timings["n_retries"] = timings.get("n_retries", 0) + 1
+        pending.clear()
+
     def flush():
+        import sys
+
         tf0 = time.perf_counter()
-        per_chunk = collect_outs([d for (_, _, d) in pending])
+        try:
+            per_chunk = collect_outs([d for (_, _, d) in pending])
+        except Exception as exc:
+            print(
+                f"[align] WARNING: bulk fetch failed ({exc!r}); "
+                "falling back to per-chunk recovery",
+                file=sys.stderr,
+            )
+            if timings is not None:
+                timings["n_retries"] = timings.get("n_retries", 0) + 1
+            flush_retry()
+            return
         tf1 = time.perf_counter()
         # Pass 2: winner starts via the v3 reverse pass (one more bulk
         # dispatch round + one bulk fetch for all chunks).
@@ -1126,24 +1195,7 @@ def align_and_count(
             pending, finalized, rev_rows_all
         ):
             patch_rev(align_cfg, disp, winners, rev_rows)
-            winners = prune_secondaries(winners, chunk, align_cfg)
-            if collect_audit:
-                compute_winner_stats(chunk, panel, winners, align_cfg)
-            chunk_counts, chunk_audit = count_support(
-                panel, winners, chunk, genotype_cfg.d_over, collect_audit
-            )
-            for tag, pair in chunk_counts.items():
-                entry = counts.setdefault(tag, [0, 0])
-                entry[0] += pair[0]
-                entry[1] += pair[1]
-            for tag, pair in chunk_audit.items():
-                entry = audit.setdefault(tag, [[], []])
-                entry[0].extend(pair[0])
-                entry[1].extend(pair[1])
-            winners.read = winners.read + start  # rebase to global read ids
-            winner_parts.append(winners)
-            if timings is not None:
-                timings["n_winners"] += int(len(winners.read))
+            accumulate(start, chunk, disp, winners)
         pending.clear()
         if timings is not None:
             timings["count_s"] += time.perf_counter() - t2

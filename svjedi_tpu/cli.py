@@ -54,6 +54,12 @@ def _add_run(sub):
              "chunks over the first N local devices (panel replicated per "
              "chip; counts merge associatively)",
     )
+    p.add_argument(
+        "--multihost", action="store_true",
+        help="pod-slice mode: join the jax.distributed process group, "
+             "shard reads by process index, allreduce counts over the "
+             "fabric, genotype on process 0 (no shared filesystem needed)",
+    )
     p.add_argument("--profile-dir", default=None,
                    help="capture a JAX profiler trace into this directory")
     p.add_argument(
@@ -148,6 +154,7 @@ def main(argv=None) -> int:
             align=AlignConfig(threads=max(0, args.threads)),
             genotype=GenotypeConfig(min_support=args.minsupport, err=args.err),
             dist=DistConfig(data_shards=max(1, args.data_shards)),
+            multihost=args.multihost,
             shard=shard,
             keep_artifacts=not args.no_artifacts,
             resume=args.resume,
@@ -157,6 +164,8 @@ def main(argv=None) -> int:
         result = run_pipeline(cfg)
         if shard is not None:
             print(f"Shard audit written: {result['shard_json']}")
+        elif result.get("output_vcf") is None:
+            print("Host done; genotyping runs on process 0")
         else:
             print(
                 "Genotyped svs: "

@@ -125,6 +125,11 @@ class PipelineConfig:
     #: cross-read reduction — and genotypes (SURVEY §2.2). On a pod slice
     #: the same reduction rides a psum instead (dist/count_step.py).
     shard: Optional[tuple] = None
+    #: jax.distributed multi-host mode (``--multihost``): join the process
+    #: group, shard reads by process index, allreduce the count tables
+    #: over the fabric, genotype on process 0 (dist/multihost.py). No
+    #: shared filesystem needed, unlike ``shard``/``merge``.
+    multihost: bool = False
 
     #: Preserve stage artifacts (gfa / edges json / informative-aln json) so
     #: stages are independently re-runnable (SURVEY §5.4 de-facto resume).

@@ -138,9 +138,22 @@ def run_pipeline(cfg: PipelineConfig) -> Dict:
                 max_hits_per_minimizer=cfg.align.max_hits_per_minimizer,
             )
 
+    proc_idx, proc_cnt = 0, 1
+    if cfg.multihost:
+        from .dist.multihost import initialize
+
+        proc_idx, proc_cnt = initialize()
+        stats.set("process", f"{proc_idx}/{proc_cnt}")
+
     with stats.timer("load_reads"):
         reads = read_reads(cfg.reads)
-        if cfg.shard is not None:
+        if cfg.multihost:
+            from .dist.multihost import process_read_block
+
+            lo, hi = process_read_block(reads.n_reads)
+            reads = reads.slice(lo, hi)
+            stats.set("process_block", f"[{lo},{hi})")
+        elif cfg.shard is not None:
             i, n = cfg.shard
             lo = reads.n_reads * i // n
             hi = reads.n_reads * (i + 1) // n
@@ -200,7 +213,21 @@ def run_pipeline(cfg: PipelineConfig) -> Dict:
         write_informative_json(audit, shard_path)
         stats.dump(f"{prefix}.shard{i}of{n}_stats.json")
         return {"counts": counts, "stats": stats, "shard_json": shard_path}
-    if cfg.keep_artifacts:
+    if cfg.multihost and proc_cnt > 1:
+        # The only cross-host reduction: sum the count tables over the
+        # fabric; process 0 genotypes (dist/multihost.py).
+        from .dist.multihost import allreduce_counts
+
+        with stats.timer("count_allreduce"):
+            counts = allreduce_counts(counts)
+        if cfg.keep_artifacts:
+            write_informative_json(
+                audit, f"{prefix}.host{proc_idx}_informative_aln.json"
+            )
+        if proc_idx != 0:
+            stats.dump(f"{prefix}.host{proc_idx}_stats.json")
+            return {"counts": counts, "stats": stats, "output_vcf": None}
+    elif cfg.keep_artifacts:
         write_informative_json(audit, f"{prefix}_informative_aln.json")
 
     with stats.timer("genotype"):
