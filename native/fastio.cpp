@@ -407,7 +407,8 @@ struct ChainParams {
 void chain_reads(const int8_t* codes, const int64_t* offsets, int64_t r0,
                  int64_t r1, int32_t k, int32_t w, const uint8_t* bitmap,
                  uint32_t bitmap_mask, const SeedIndex& idx,
-                 const ChainParams& cp, SeedResult* out) {
+                 const ChainParams& cp, SeedResult* out,
+                 int32_t panel_path_limit = 0) {
   struct Anchor {
     int64_t key;  // (path << 1 | strand) — group within the read
     int64_t rpos;
@@ -450,6 +451,19 @@ void chain_reads(const int8_t* codes, const int64_t* offsets, int64_t r0,
       }
     }
     if (anchors.empty()) continue;
+    // Merged panel+decoy seeding: a read with no panel anchor can never
+    // contribute a count, and decoy chains are consulted only for reads
+    // with panel chains — skip the whole read before the sort/chain work.
+    if (panel_path_limit > 0) {
+      bool has_panel = false;
+      for (const Anchor& a : anchors) {
+        if ((a.key >> 1) < panel_path_limit) {
+          has_panel = true;
+          break;
+        }
+      }
+      if (!has_panel) continue;
+    }
     std::sort(anchors.begin(), anchors.end(),
               [](const Anchor& a, const Anchor& b) {
                 if (a.key != b.key) return a.key < b.key;
@@ -570,16 +584,16 @@ void chain_reads(const int8_t* codes, const int64_t* offsets, int64_t r0,
 
 }  // namespace
 
-void* svt_chain(const int8_t* codes, int64_t n_bases,
-                const int64_t* offsets, int64_t n_reads, int32_t k,
-                int32_t w, const uint8_t* bitmap, int32_t bitmap_log2,
-                const uint32_t* uniq_hash, int64_t n_uniq,
-                const int64_t* hit_start, const int32_t* hit_path,
-                const int32_t* hit_pos, const int8_t* hit_strand,
-                int32_t min_anchors, int32_t max_chains, int32_t max_gap,
-                int32_t drift_abs, int32_t drift_permille,
-                int32_t block_rows, int32_t ext_min_anchors,
-                int32_t n_threads) {
+void* svt_chain2(const int8_t* codes, int64_t n_bases,
+                 const int64_t* offsets, int64_t n_reads, int32_t k,
+                 int32_t w, const uint8_t* bitmap, int32_t bitmap_log2,
+                 const uint32_t* uniq_hash, int64_t n_uniq,
+                 const int64_t* hit_start, const int32_t* hit_path,
+                 const int32_t* hit_pos, const int8_t* hit_strand,
+                 int32_t min_anchors, int32_t max_chains, int32_t max_gap,
+                 int32_t drift_abs, int32_t drift_permille,
+                 int32_t block_rows, int32_t ext_min_anchors,
+                 int32_t panel_path_limit, int32_t n_threads) {
   (void)n_bases;
   auto* result = new SeedResult();
   if (k <= 0 || k > 15 || w <= 0 || n_reads <= 0 || block_rows <= 0)
@@ -597,7 +611,7 @@ void* svt_chain(const int8_t* codes, int64_t n_bases,
   if ((int64_t)T > n_reads) T = (int)n_reads;
   if (T == 1) {
     chain_reads(codes, offsets, 0, n_reads, k, w, bitmap, bitmap_mask, idx,
-                cp, result);
+                cp, result, panel_path_limit);
     return result;
   }
   const int64_t total = offsets[n_reads] - offsets[0];
@@ -615,7 +629,7 @@ void* svt_chain(const int8_t* codes, int64_t n_bases,
   for (int t = 0; t < T; ++t) {
     threads.emplace_back([&, t]() {
       chain_reads(codes, offsets, bounds[t], bounds[t + 1], k, w, bitmap,
-                  bitmap_mask, idx, cp, &parts[t]);
+                  bitmap_mask, idx, cp, &parts[t], panel_path_limit);
     });
   }
   for (auto& th : threads) th.join();
@@ -647,6 +661,24 @@ void* svt_chain(const int8_t* codes, int64_t n_bases,
     result->a_hi.insert(result->a_hi.end(), p.a_hi.begin(), p.a_hi.end());
   }
   return result;
+}
+
+// ABI-stable wrapper (pre-panel-limit signature).
+void* svt_chain(const int8_t* codes, int64_t n_bases,
+                const int64_t* offsets, int64_t n_reads, int32_t k,
+                int32_t w, const uint8_t* bitmap, int32_t bitmap_log2,
+                const uint32_t* uniq_hash, int64_t n_uniq,
+                const int64_t* hit_start, const int32_t* hit_path,
+                const int32_t* hit_pos, const int8_t* hit_strand,
+                int32_t min_anchors, int32_t max_chains, int32_t max_gap,
+                int32_t drift_abs, int32_t drift_permille,
+                int32_t block_rows, int32_t ext_min_anchors,
+                int32_t n_threads) {
+  return svt_chain2(codes, n_bases, offsets, n_reads, k, w, bitmap,
+                    bitmap_log2, uniq_hash, n_uniq, hit_start, hit_path,
+                    hit_pos, hit_strand, min_anchors, max_chains, max_gap,
+                    drift_abs, drift_permille, block_rows, ext_min_anchors,
+                    /*panel_path_limit=*/0, n_threads);
 }
 
 int64_t svt_seed_count(void* handle) {

@@ -1219,6 +1219,7 @@ def align_and_count(
         cands = seed_candidates(
             chunk, seed_index, chain_params=chain_params,
             threads=align_cfg.threads,
+            panel_path_limit=n_panel_paths if decoy is not None else 0,
         )
         if decoy is not None and len(cands):
             from .decoy import suppress_candidates

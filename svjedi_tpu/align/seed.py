@@ -188,11 +188,16 @@ def seed_candidates(
     index: PanelIndex,
     chain_params: ChainParams = ChainParams(),
     threads: int = 0,
+    panel_path_limit: int = 0,
 ) -> Candidates:
     """Compute chain-block alignment candidates for every read.
 
     ``threads`` bounds the native scan's thread count (0 = all hardware
     threads); it is the working equivalent of the reference's ``-t``.
+    ``panel_path_limit`` > 0 (merged panel+decoy index): reads with no
+    anchor on a path id below the limit are skipped before chaining — they
+    can never contribute a count, and decoy chains are consulted only for
+    reads with panel chains.
     """
     cp = chain_params
     rlen = reads.lengths
@@ -205,6 +210,7 @@ def seed_candidates(
             hit_path=index.hit_path, hit_pos=index.hit_pos,
             hit_strand=index.hit_strand,
             params=cp, n_threads=threads,
+            panel_path_limit=panel_path_limit,
         )
         if res is not None:
             (read, path, strand, d0, support, chain_local, q_lo, q_hi,
@@ -244,6 +250,15 @@ def seed_candidates(
     a_path = index.hit_path[hit_idx]
     a_tpos = index.hit_pos[hit_idx]
     a_tstrand = index.hit_strand[hit_idx]
+
+    if panel_path_limit > 0 and len(a_read):
+        has_panel = np.zeros(reads.n_reads, dtype=bool)
+        has_panel[a_read[a_path < panel_path_limit]] = True
+        keep_a = has_panel[a_read]
+        a_read, a_rpos = a_read[keep_a], a_rpos[keep_a]
+        a_rstrand = a_rstrand[keep_a]
+        a_path, a_tpos = a_path[keep_a], a_tpos[keep_a]
+        a_tstrand = a_tstrand[keep_a]
 
     strand = (a_rstrand ^ a_tstrand).astype(np.int8)
     # Effective read coordinate: for reverse-strand candidates we align the

@@ -44,6 +44,12 @@ class _NativeIO:
                     ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                     ctypes.c_int32, ctypes.c_int32,
                 ]
+                if hasattr(lib, "svt_chain2"):
+                    lib.svt_chain2.restype = ctypes.c_void_p
+                    lib.svt_chain2.argtypes = (
+                        lib.svt_chain.argtypes[:-1]
+                        + [ctypes.c_int32, ctypes.c_int32]
+                    )
                 lib.svt_seed_count.restype = ctypes.c_int64
                 lib.svt_seed_count.argtypes = [ctypes.c_void_p]
                 lib.svt_chain_copy.restype = None
@@ -194,17 +200,22 @@ class _NativeIO:
         hit_strand: np.ndarray,
         params,
         n_threads: int = 0,
+        panel_path_limit: int = 0,
     ):
         """Full native seeding (minimizers -> lookup -> chaining -> blocks).
 
         ``params`` is an align.seed.ChainParams. Returns (read, path,
         strand, d0, support, chain_local, q_lo, q_hi) block arrays with the
         same ordering/semantics as the numpy seed_candidates stage, or None
-        when the library predates svt_chain.
+        when the library predates svt_chain. ``panel_path_limit`` > 0 skips
+        reads with no anchor on a path id below it (merged panel+decoy
+        seeding: panel-less reads can never contribute).
         """
         lib = self._lib
         if not hasattr(lib, "svt_chain"):
             return None
+        if panel_path_limit > 0 and not hasattr(lib, "svt_chain2"):
+            return None  # stale library: fall back to the numpy path
         codes = np.ascontiguousarray(codes, dtype=np.int8)
         offsets = np.ascontiguousarray(offsets, dtype=np.int64)
         uniq_hash = np.ascontiguousarray(uniq_hash, dtype=np.uint32)
@@ -212,7 +223,7 @@ class _NativeIO:
         hit_path = np.ascontiguousarray(hit_path, dtype=np.int32)
         hit_pos = np.ascontiguousarray(hit_pos, dtype=np.int32)
         hit_strand = np.ascontiguousarray(hit_strand, dtype=np.int8)
-        handle = lib.svt_chain(
+        common = (
             codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
             ctypes.c_int64(len(codes)),
             offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -234,8 +245,15 @@ class _NativeIO:
             ctypes.c_int32(params.drift_permille),
             ctypes.c_int32(params.block_rows),
             ctypes.c_int32(params.ext_min_anchors),
-            ctypes.c_int32(n_threads),
         )
+        if hasattr(lib, "svt_chain2"):
+            handle = lib.svt_chain2(
+                *common,
+                ctypes.c_int32(panel_path_limit),
+                ctypes.c_int32(n_threads),
+            )
+        else:
+            handle = lib.svt_chain(*common, ctypes.c_int32(n_threads))
         if not handle:
             return None
         try:
