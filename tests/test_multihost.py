@@ -28,10 +28,8 @@ def test_allreduce_identity_single_process():
     assert mh.allreduce_counts(counts) == counts
 
 
-def test_multihost_single_process_matches_plain(tmp_path):
-    from svjedi_tpu.config import PipelineConfig
+def _sim_inputs(tmp_path):
     from svjedi_tpu.io import sim
-    from svjedi_tpu.pipeline import run_pipeline
 
     rng = np.random.default_rng(2)
     s = sim.simulate(seed=8, chrom_lengths={"c1": 50_000}, n_svs=6)
@@ -46,7 +44,14 @@ def test_multihost_single_process_matches_plain(tmp_path):
         for c, seq in s.chroms.items():
             fh.write(f">{c}\n{seq}\n")
     sim.write_fastq(fq, names, seqs)
+    return vcf, fa, fq
 
+
+def test_multihost_single_process_matches_plain(tmp_path):
+    from svjedi_tpu.config import PipelineConfig
+    from svjedi_tpu.pipeline import run_pipeline
+
+    vcf, fa, fq = _sim_inputs(tmp_path)
     plain = run_pipeline(PipelineConfig(
         vcf=vcf, ref=fa, reads=(str(fq),),
         prefix=str(tmp_path / "plain"), keep_artifacts=False,
@@ -59,4 +64,27 @@ def test_multihost_single_process_matches_plain(tmp_path):
     assert multi["output_vcf"] is not None
     a = open(plain["output_vcf"]).read()
     b = open(multi["output_vcf"]).read()
+    assert a == b
+
+
+def test_data_shards_pipeline_matches_plain(tmp_path):
+    """--data-shards over the virtual 8-device mesh byte-reproduces the
+    single-device pipeline output (chunk round-robin + associative count
+    merge)."""
+    from svjedi_tpu.config import DistConfig, PipelineConfig
+    from svjedi_tpu.pipeline import run_pipeline
+
+    vcf, fa, fq = _sim_inputs(tmp_path)
+    plain = run_pipeline(PipelineConfig(
+        vcf=vcf, ref=fa, reads=(str(fq),),
+        prefix=str(tmp_path / "plain2"), keep_artifacts=False,
+    ))
+    sharded = run_pipeline(PipelineConfig(
+        vcf=vcf, ref=fa, reads=(str(fq),),
+        prefix=str(tmp_path / "shards"), keep_artifacts=False,
+        dist=DistConfig(data_shards=4),
+    ))
+    assert sharded["stats"].counters.get("data_shards") == 4
+    a = open(plain["output_vcf"]).read()
+    b = open(sharded["output_vcf"]).read()
     assert a == b
