@@ -56,7 +56,11 @@ def _build_decoy(panel, cfg):
 
 
 def _scale_bench() -> int:
-    """Throughput on the BASELINE.md production-scale simulated config."""
+    """Throughput on the BASELINE.md production-scale simulated config.
+
+    Size knobs (defaults = the 10 Mb config): SVJT_SCALE_MB genome
+    megabases, SVJT_SCALE_SVS SV count, SVJT_SCALE_COV read coverage.
+    """
     import numpy as np
 
     from svjedi_tpu.align.index import build_panel_index
@@ -70,9 +74,14 @@ def _scale_bench() -> int:
 
     import tempfile
 
+    mb = int(os.environ.get("SVJT_SCALE_MB", "10"))
+    n_svs = int(os.environ.get("SVJT_SCALE_SVS", "1000"))
+    cov = float(os.environ.get("SVJT_SCALE_COV", "20"))
     rng = np.random.default_rng(11)
-    s = sim.simulate(seed=2, chrom_lengths={"chr1": 10_000_000}, n_svs=1000)
-    names, seqs = sim.simulate_reads(rng, s.haplotypes, coverage=20.0)
+    s = sim.simulate(
+        seed=2, chrom_lengths={"chr1": mb * 1_000_000}, n_svs=n_svs
+    )
+    names, seqs = sim.simulate_reads(rng, s.haplotypes, coverage=cov)
     lut = np.full(256, 4, np.int8)
     for b, v in zip(b"ACGT", range(4)):
         lut[b] = v

@@ -100,9 +100,13 @@ class GenotypeConfig:
 class DistConfig:
     """Device-mesh layout (SURVEY §2.2: the TPU-native scaling strategy)."""
 
-    #: Number of data-parallel read shards (mesh axis ``data``).
+    #: Number of data-parallel read shards: ``run_pipeline`` round-robins
+    #: read chunks over this many local devices (``--data-shards``).
     data_shards: int = 1
-    #: Number of panel shards (mesh axis ``graph``); 1 = replicated panel.
+    #: SV tag-space shards of the on-mesh count step (mesh axis ``graph``
+    #: in dist/engine.py; exercised by the multichip dry run). The chunked
+    #: production pipeline replicates the panel — use the on-mesh step for
+    #: genomes whose tag table warrants sharding.
     graph_shards: int = 1
 
 
