@@ -838,29 +838,47 @@ def count_support(
     Returns (counts, audit) where counts maps lookup tags to [ref, alt] and
     audit mirrors the reference's informative_aln.json schema (GAF-like
     lines per counted alignment, filter-alignments.py:163-166).
+
+    Two single-alignment-per-read invariants of the reference are imposed
+    on the primary set (minigraph emits ONE whole-graph alignment per read
+    locus, which cannot do either):
+
+    - dedup per (read, link, tag, allele): two kept fragments crossing the
+      SAME link count once (one link can carry several tags — co-located
+      SVs share breakpoint links — each of which counts);
+    - allele exclusivity per (read, SV): a read whose kept fragments cross
+      links of BOTH alleles of one SV (e.g. a ref fragment at one junction
+      of a long INV plus an alt fragment at the other) supports only the
+      allele of its best-scoring fragment.
     """
     counts: Dict[str, List[int]] = {}
     audit: Dict[str, List[List[str]]] = {}
-    # A read's primary set can, in overlap edge cases, contain two kept
-    # alignments crossing the SAME graph link; the reference's one
-    # whole-graph alignment can cross a link only once, so dedup per
-    # (read, link, tag, allele) — one link can carry several tags
-    # (co-located SVs share breakpoint links), each of which counts.
-    seen: set = set()
+    # (read, tag) -> list of qualifying (score, row, link, allele)
+    contrib: Dict[Tuple[int, str], List[Tuple[int, int, int, int]]] = {}
     for i in range(len(winners.read)):
         path = panel.paths[int(winners.path[i])]
         ts, te = int(winners.ts[i]), int(winners.te[i])
         for tag, allele, j, li in path.owned:
             if (j - ts) >= d_over and (te - j + 1) >= d_over:
-                key = (int(winners.read[i]), li, tag, allele)
-                if key in seen:
-                    continue
-                seen.add(key)
-                entry = counts.setdefault(tag, [0, 0])
-                entry[allele] += 1
-                if collect_audit:
-                    line = _audit_line(panel, winners, reads, i)
-                    audit.setdefault(tag, [[], []])[allele].append(line)
+                contrib.setdefault((int(winners.read[i]), tag), []).append(
+                    (int(winners.score[i]), i, li, allele)
+                )
+    for (read_id, tag), rows in contrib.items():
+        if len({a for (_, _, _, a) in rows}) > 1:
+            best = max(s for (s, _, _, _) in rows)
+            best_i = min(i for (s, i, _, _) in rows if s == best)
+            keep = next(a for (s, i, _, a) in rows if i == best_i)
+            rows = [r for r in rows if r[3] == keep]
+        seen: set = set()
+        for _score, i, li, allele in rows:
+            if (li, allele) in seen:
+                continue
+            seen.add((li, allele))
+            entry = counts.setdefault(tag, [0, 0])
+            entry[allele] += 1
+            if collect_audit:
+                line = _audit_line(panel, winners, reads, i)
+                audit.setdefault(tag, [[], []])[allele].append(line)
     return counts, audit
 
 
