@@ -115,7 +115,16 @@ def _scale_bench() -> int:
         out_vcf = os.path.join(tmp, "g.vcf")
         write_genotyped_vcf(vcf, out_vcf, counts)
         report = contingency_report(vcf, out_vcf)
-    if "accuracy: 100.0" not in report:
+    # The default 10 Mb/1000 SV/20x config genotypes 1000/1000 (gate
+    # 100.0). Larger/lower-coverage configs hit the data's own ceiling:
+    # at 12x, ~0.3% of het SVs have zero spanning reads from one haplotype
+    # (verified read-by-read for the 50 Mb config's misses, PERF.md), so
+    # the gate is tunable for those runs.
+    min_acc = float(os.environ.get("SVJT_SCALE_MIN_ACC", "100.0"))
+    import re as _re
+
+    acc_m = _re.search(r"accuracy: ([\d.]+)", report)
+    if acc_m is None or float(acc_m.group(1)) < min_acc:
         print(json.dumps({
             "metric": "scale_reads_per_s_per_chip", "value": 0.0,
             "unit": "reads/s", "vs_baseline": 0.0,
