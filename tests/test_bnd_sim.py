@@ -55,6 +55,41 @@ def test_bnd_derivative_sequences():
         assert want in joined, (sv.flavor, sv.chrom, sv.pos)
 
 
+def test_bnd_panel_walks_cross_chromosomes():
+    """Panel enumeration must walk BND alt links across chromosomes
+    (construct-graph.py:504-547 semantics): the cluster containing an
+    inter-chromosomal breakend owns a path whose nodes span both chroms."""
+    from svjedi_tpu.config import AlignConfig
+    from svjedi_tpu.graph.build import build_graph
+    from svjedi_tpu.graph.cluster import build_panel
+    from svjedi_tpu.graph.svparse import parse_vcf_svs
+
+    rng = np.random.default_rng(7)
+    chroms = sim.random_genome(rng, {f"c{i}": 40_000 for i in range(4)})
+    events = [
+        sv for sv in sim.simulate_translocations(rng, chroms, 2)
+        if sv.mate_chrom != sv.chrom
+    ]
+    assert events, "need at least one inter-chromosomal event"
+    with tempfile.TemporaryDirectory() as tmp:
+        vcf = os.path.join(tmp, "t.vcf")
+        s = sim.Simulation(chroms=chroms, svs=events,
+                           haplotypes=(chroms, chroms))
+        sim.write_truth_vcf(s, vcf)
+        parsed = parse_vcf_svs(vcf, {c: len(x) for c, x in chroms.items()})
+    graph = build_graph(chroms, parsed)
+    cfg = AlignConfig()
+    panel = build_panel(graph, flank=cfg.flank, cluster_gap=cfg.cluster_gap)
+    cross = 0
+    for p in panel.paths:
+        path_chroms = {graph.nodes[n].chrom for (n, _s) in p.states}
+        if len(path_chroms) > 1:
+            cross += 1
+            # the cross-chrom walk must carry the BND alt tag
+            assert any("BND" in tag for tag, *_ in p.owned), p.owned
+    assert cross >= len(events), f"only {cross} cross-chrom panel paths"
+
+
 def test_bnd_scale_genotyping():
     rng = np.random.default_rng(21)
     s = sim.simulate(
