@@ -201,3 +201,30 @@ def make_sharded_count_step_v3(
 def packed_buffers(data: DeviceData):
     """The (rw, rn, pw, pn) word buffers of a production upload."""
     return data.packed_words()
+
+
+def assert_no_group_straddle(
+    group: np.ndarray, meta: np.ndarray, data_shards: int
+) -> None:
+    """Check that no winner-competition group straddles a data-shard cut.
+
+    ``make_sharded_count_step_v3`` elects one winner PER SHARD per group id;
+    a (read, cluster) group split across the equal data split would be
+    counted once per shard it touches. Padding rows (meta window length 0)
+    are ignored — they can never win. Raises AssertionError on a straddle.
+    """
+    P = len(group)
+    if data_shards <= 1 or P == 0:
+        return
+    assert P % data_shards == 0, (P, data_shards)
+    shard_len = P // data_shards
+    m = np.asarray(meta)[1]
+    real = m > 0
+    g = np.asarray(group)
+    for b in range(shard_len, P, shard_len):
+        left = g[:b][real[:b]]
+        right = g[b:][real[b:]]
+        common = np.intersect1d(left, right)
+        assert common.size == 0, (
+            f"groups {common[:8].tolist()} straddle the shard cut at {b}"
+        )

@@ -32,11 +32,33 @@ def initialize(
 
     With no arguments, jax.distributed.initialize auto-discovers the
     cluster from the TPU pod metadata / standard env vars; on a single
-    unconfigured host it is skipped and (0, 1) is returned.
+    unconfigured host auto-detection fails and (0, 1) is returned with a
+    warning.
+
+    jax.distributed.initialize must run before ANYTHING touches the XLA
+    backend (jax 0.9 raises RuntimeError otherwise), including
+    jax.process_count() — so the initialize attempt comes first, and the
+    already-initialized-backend case is handled explicitly rather than
+    probed for. Explicit coordination parameters never degrade silently:
+    if they cannot be applied, this raises.
     """
+    import sys
+
     import jax
 
-    if jax.process_count() > 1:
+    explicit = any(
+        v is not None
+        for v in (coordinator_address, num_processes, process_id)
+    )
+    if jax.distributed.is_initialized():
+        # A prior initialize() (ours or the caller's) already joined the
+        # group; re-joining is an error, so just report the membership.
+        if explicit:
+            raise RuntimeError(
+                "--multihost coordination parameters given but "
+                "jax.distributed was already initialized earlier in this "
+                "process; pass them before any other JAX use"
+            )
         return jax.process_index(), jax.process_count()
     try:
         jax.distributed.initialize(
@@ -44,9 +66,42 @@ def initialize(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except Exception:
-        # No coordinator/env config: single-process mode.
-        pass
+    except RuntimeError as exc:
+        if "backend" in str(exc).lower():
+            # The XLA backend was touched before us. Without explicit
+            # config this process may still legitimately be single-host;
+            # with explicit config the user asked for a group we cannot
+            # join — that must be fatal, not N independent full runs
+            # racing on one output prefix.
+            if explicit:
+                raise RuntimeError(
+                    "jax.distributed.initialize() could not run: the XLA "
+                    "backend was already initialized. --multihost with "
+                    "explicit coordination must be the first JAX call in "
+                    "the process."
+                ) from exc
+            print(
+                "[multihost] WARNING: XLA backend already initialized; "
+                "skipping jax.distributed auto-init "
+                f"({exc})",
+                file=sys.stderr,
+            )
+        elif explicit:
+            raise
+        else:
+            # Auto-detection found no cluster: single-process mode.
+            print(
+                f"[multihost] no cluster detected ({exc}); running "
+                "single-process",
+                file=sys.stderr,
+            )
+    except ValueError:
+        if explicit:
+            raise
+        print(
+            "[multihost] no cluster configuration; running single-process",
+            file=sys.stderr,
+        )
     return jax.process_index(), jax.process_count()
 
 

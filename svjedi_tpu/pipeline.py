@@ -70,6 +70,16 @@ def run_pipeline(cfg: PipelineConfig) -> Dict:
     stats = RunStats()
     prefix = cfg.prefix
 
+    proc_idx, proc_cnt = 0, 1
+    if cfg.multihost:
+        # jax.distributed.initialize must precede ANY backend-touching JAX
+        # call (jax 0.9 refuses otherwise), so the process group joins
+        # before any stage that might reach the device.
+        from .dist.multihost import initialize
+
+        proc_idx, proc_cnt = initialize()
+        stats.set("process", f"{proc_idx}/{proc_cnt}")
+
     with stats.timer("load_reference"):
         chroms = read_fasta(cfg.ref)
         chrom_lengths = {c: len(s) for c, s in chroms.items()}
@@ -137,13 +147,6 @@ def run_pipeline(cfg: PipelineConfig) -> Dict:
                 w=cfg.align.window,
                 max_hits_per_minimizer=cfg.align.max_hits_per_minimizer,
             )
-
-    proc_idx, proc_cnt = 0, 1
-    if cfg.multihost:
-        from .dist.multihost import initialize
-
-        proc_idx, proc_cnt = initialize()
-        stats.set("process", f"{proc_idx}/{proc_cnt}")
 
     with stats.timer("load_reads"):
         reads = read_reads(cfg.reads)
