@@ -254,12 +254,17 @@ def main() -> int:
     # excluding pass 0 (metric note: round-1 numbers before the multi-pass
     # change measured the single second pass and are not apples-to-apples).
     n_passes = int(os.environ.get("SVJT_BENCH_PASSES", "5"))
+    # Chunked passes pipeline the host seed stage of chunk i+1 with the
+    # device DP of chunk i (align_and_count's seeder thread); one monolithic
+    # chunk would serialize them.
+    chunk_reads = int(os.environ.get("SVJT_BENCH_CHUNK_READS", "1024"))
     dt = None
     for pass_i in range(n_passes):
         timings = {}
         t0 = time.perf_counter()
         align_and_count(reps, panel, index, align_cfg, genotype_cfg,
-                        collect_audit=False, timings=timings, decoy=decoy)
+                        collect_audit=False, timings=timings, decoy=decoy,
+                        chunk_reads=chunk_reads)
         pass_dt = time.perf_counter() - t0
         if pass_i > 0:
             dt = pass_dt if dt is None else min(dt, pass_dt)

@@ -1159,9 +1159,17 @@ def align_and_count(
         for start, chunk, disp in pending:
             for attempt in (0, 1):
                 try:
+                    if attempt == 0:
+                        device_data = disp.device_data
+                    else:
+                        # A failure that poisons in-flight buffers likely
+                        # poisons the chunk's uploaded buffers too: retry
+                        # from a fresh upload (fresh panel cache so the
+                        # shared panel buffers are re-sent as well).
+                        device_data = dev.upload(chunk.codes, panel, {})
                     d2 = dispatch_chunk(
                         chunk, panel, index, disp.cands, align_cfg,
-                        disp.device_data, batch_size=batch_size,
+                        device_data, batch_size=batch_size,
                     )
                     process_one(start, chunk, d2)
                     break
@@ -1218,22 +1226,24 @@ def align_and_count(
         if timings is not None:
             timings["count_s"] += time.perf_counter() - t2
 
-    for start in range(0, max(reads.n_reads, 1), chunk_reads):
-        stop = min(start + chunk_reads, reads.n_reads)
-        if start >= stop:
-            break
-        chunk = reads.slice(start, stop)
+    chain_params = ChainParams(
+        min_anchors=align_cfg.min_anchors,
+        max_chains=align_cfg.max_chains,
+        max_gap=align_cfg.chain_max_gap,
+        drift_abs=align_cfg.chain_drift_abs,
+        drift_permille=align_cfg.chain_drift_permille,
+        block_rows=align_cfg.block_rows,
+        ext_min_anchors=align_cfg.chain_ext_min_anchors,
+    )
 
-        t0 = time.perf_counter()
-        chain_params = ChainParams(
-            min_anchors=align_cfg.min_anchors,
-            max_chains=align_cfg.max_chains,
-            max_gap=align_cfg.chain_max_gap,
-            drift_abs=align_cfg.chain_drift_abs,
-            drift_permille=align_cfg.chain_drift_permille,
-            block_rows=align_cfg.block_rows,
-            ext_min_anchors=align_cfg.chain_ext_min_anchors,
-        )
+    def seed_chunk(chunk: ReadSet):
+        """Seed + decoy-suppress one chunk (runs on the seeder thread).
+
+        Pure host work (native scans release the GIL; numpy in between), no
+        JAX — all device interaction stays on the caller's thread. Returns
+        (candidates, cpu_seconds).
+        """
+        ts0 = time.perf_counter()
         cands = seed_candidates(
             chunk, seed_index, chain_params=chain_params,
             threads=align_cfg.threads,
@@ -1251,28 +1261,50 @@ def align_and_count(
             )
             if not keep.all():
                 cands = cands.take(keep)
-        t1 = time.perf_counter()
-        if devices:
-            di = (start // chunk_reads) % len(devices)
-            device_data = dev.upload(
-                chunk.codes, panel, panel_caches[di], device=devices[di]
-            )
-        else:
-            device_data = dev.upload(chunk.codes, panel, panel_caches[0])
-        disp = dispatch_chunk(
-            chunk, panel, index, cands, align_cfg, device_data,
-            batch_size=batch_size,
-        )
-        t2 = time.perf_counter()
-        pending.append((start, chunk, disp))
-        if len(pending) >= flush_every:
-            flush()
+        return cands, time.perf_counter() - ts0
 
-        if timings is not None:
-            timings["seed_s"] += t1 - t0
-            timings["dp_s"] += t2 - t1
-            timings["n_candidates"] += len(cands)
-    flush()
+    # Chunk pipeline: while chunk i's DP batches execute on the device, the
+    # seeder thread computes chunk i+1's candidates (host C++/numpy only —
+    # the native scans release the GIL, so seeding genuinely overlaps both
+    # the device wait and the main thread's dispatch numpy). seed_s below is
+    # therefore the *exposed* seed wait; seed_cpu_s is the true host cost.
+    from concurrent.futures import ThreadPoolExecutor
+
+    starts = list(range(0, reads.n_reads, chunk_reads))
+    chunks = [reads.slice(s, min(s + chunk_reads, reads.n_reads))
+              for s in starts]
+    with ThreadPoolExecutor(max_workers=1) as seeder:
+        seed_future = seeder.submit(seed_chunk, chunks[0]) if chunks else None
+        for ci, (start, chunk) in enumerate(zip(starts, chunks)):
+            t0 = time.perf_counter()
+            cands, seed_cpu = seed_future.result()
+            t1 = time.perf_counter()
+            if ci + 1 < len(chunks):
+                seed_future = seeder.submit(seed_chunk, chunks[ci + 1])
+            if devices:
+                di = ci % len(devices)
+                device_data = dev.upload(
+                    chunk.codes, panel, panel_caches[di], device=devices[di]
+                )
+            else:
+                device_data = dev.upload(chunk.codes, panel, panel_caches[0])
+            disp = dispatch_chunk(
+                chunk, panel, index, cands, align_cfg, device_data,
+                batch_size=batch_size,
+            )
+            t2 = time.perf_counter()
+            pending.append((start, chunk, disp))
+            if len(pending) >= flush_every:
+                flush()
+
+            if timings is not None:
+                timings["seed_s"] += t1 - t0
+                timings["seed_cpu_s"] = (
+                    timings.get("seed_cpu_s", 0.0) + seed_cpu
+                )
+                timings["dp_s"] += t2 - t1
+                timings["n_candidates"] += len(cands)
+        flush()
 
     if winner_parts:
         merged = Winners(

@@ -95,9 +95,11 @@ def main():
     path_start = data.panel_start[cands.path[sel]].astype(np.int32)
     cluster = index.path_cluster[cands.path[sel]].astype(np.int64)
     n_clusters = int(index.path_cluster.max()) + 1
-    group = (
-        cands.read[sel].astype(np.int64) * n_clusters + cluster
-    ).astype(np.int32)
+    # Densify (read, cluster) keys before narrowing: the int64 product
+    # overflows int32 at production scale (millions of reads x thousands of
+    # clusters) and wrapped ids would collide distinct winner groups.
+    gkey = cands.read[sel].astype(np.int64) * n_clusters + cluster
+    group = np.unique(gkey, return_inverse=True)[1].astype(np.int32)
     cand_path = cands.path[sel].astype(np.int32)
     tags = sorted({t for p in panel.paths for t, *_ in p.owned})
     owned = build_owned_table(panel, {t_: i for i, t_ in enumerate(tags)})
