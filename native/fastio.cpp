@@ -205,34 +205,58 @@ constexpr uint32_t kInvalid = 0xFFFFFFFFu;
 
 namespace {
 
+// Per-thread scratch for scan_minimizers (avoids per-read allocation when
+// the chainer scans one read at a time).
+struct ScanScratch {
+  std::vector<uint64_t> keys;
+  std::vector<uint64_t> sufmin;
+};
+
 // Scans reads [r0, r1) appending minimizers to *result. When bitmap is
 // non-null, only hashes whose bit (hash masked to bitmap_bits) is set are
 // emitted — the caller sets bits for every panel-index hash, so ~99% of
 // read minimizers (which never hit the panel) are dropped here instead of
 // surviving into the numpy seeding stage. False positives are resolved by
 // the exact hash lookup downstream.
+//
+// Window minima use the branchless two-pass block trick instead of a
+// monotonic deque: pack each k-mer as (hash << 32 | local_pos << 1 | strand)
+// so an unsigned min is a leftmost-argmin (positions are unique), compute
+// per-w-block suffix minima backward and a running prefix minimum forward,
+// and every window's min is min(sufmin[s], premin[s + w - 1]). Same
+// emission set and order as the numpy reference in align/minimizer.py
+// (leftmost argmin per window, consecutive-duplicate dedupe), ~3x the
+// deque's throughput on long reads (predictable straight-line loops).
 void scan_minimizers(const int8_t* codes, const int64_t* offsets, int64_t r0,
                      int64_t r1, int32_t k, int32_t w, const uint8_t* bitmap,
-                     uint32_t bitmap_mask, MinimizerResult* result) {
+                     uint32_t bitmap_mask, MinimizerResult* result,
+                     ScanScratch* scratch = nullptr) {
   const uint32_t mask = (1u << (2 * k)) - 1;
   const int shift = 2 * (k - 1);
-
-  struct Entry {
-    uint32_t hash;
-    int64_t kstart;
-    int8_t strand;
-  };
-  // Monotonic queue: ring-free array with compaction; <= w live entries.
-  std::vector<Entry> queue(2 * w + 2);
+  ScanScratch local;
+  ScanScratch& sc = scratch ? *scratch : local;
 
   for (int64_t r = r0; r < r1; ++r) {
     const int64_t lo = offsets[r], hi = offsets[r + 1];
     const int64_t n_kmers = hi - lo - k + 1;
     if (n_kmers <= 0) continue;
+    // Effective window: a read with fewer than w k-mers gets one window
+    // over all of them (matches the deque's n_kmers < w special case and
+    // the numpy path's `if len(hashes) < w: w = len(hashes)`).
+    const int64_t we = std::min<int64_t>(w, n_kmers);
+    if ((int64_t)sc.keys.size() < n_kmers) {
+      sc.keys.resize(n_kmers);
+      sc.sufmin.resize(n_kmers);
+    }
+    uint64_t* keys = sc.keys.data();
+    uint64_t* suf = sc.sufmin.data();
+
+    // Pass 1 — rolling k-mer keys. Invalid (N-containing / palindromic)
+    // k-mers carry the sentinel hash and sort after every real hash; a
+    // real fmix32 output colliding with the sentinel stays invalid,
+    // matching the numpy path's post-hoc `hash != INVALID` filter.
     uint32_t fwd = 0, rc = 0;
     int run = 0;  // consecutive non-N bases ending at i
-    int head = 0, tail = 0;
-    int64_t last_emitted = -1;
     for (int64_t i = lo; i < hi; ++i) {
       const int8_t c = codes[i];
       if (c < 4) {
@@ -243,42 +267,53 @@ void scan_minimizers(const int8_t* codes, const int64_t* offsets, int64_t r0,
         fwd = rc = 0;
         run = 0;
       }
-      const int64_t kstart = i - k + 1;
-      if (kstart < lo) continue;
-      uint32_t h = kInvalid;
-      int8_t strand = 0;
+      const int64_t ks = i - k + 1;
+      if (ks < lo) continue;
+      const uint64_t posbits = (uint64_t)(uint32_t)(ks - lo) << 1;
+      uint64_t key = ((uint64_t)kInvalid << 32) | posbits;
       if (run >= k && fwd != rc) {
-        strand = (int8_t)(rc < fwd ? 1 : 0);
-        h = fmix32(rc < fwd ? rc : fwd);
-        // A real hash colliding with the sentinel stays invalid, matching
-        // the numpy path's post-hoc `hash != INVALID` filter.
+        const uint64_t s = rc < fwd ? 1 : 0;
+        const uint32_t h = fmix32(s ? rc : fwd);
+        key = ((uint64_t)h << 32) | posbits | s;
       }
-      // Evict out-of-window entries, then push keeping the queue
-      // non-decreasing (strict pops retain the leftmost tie).
-      while (tail > head && queue[head].kstart <= kstart - w) ++head;
-      while (tail > head && queue[tail - 1].hash > h) --tail;
-      if (tail == (int)queue.size()) {
-        std::copy(queue.begin() + head, queue.begin() + tail, queue.begin());
-        tail -= head;
-        head = 0;
+      keys[ks - lo] = key;
+    }
+
+    // Pass 2 — suffix minima within we-aligned blocks.
+    for (int64_t bstart = ((n_kmers - 1) / we) * we; bstart >= 0;
+         bstart -= we) {
+      const int64_t bend = std::min<int64_t>(bstart + we, n_kmers);
+      uint64_t m = keys[bend - 1];
+      suf[bend - 1] = m;
+      for (int64_t i = bend - 2; i >= bstart; --i) {
+        m = std::min(m, keys[i]);
+        suf[i] = m;
       }
-      queue[tail++] = {h, kstart, strand};
-      const bool window_full =
-          (kstart >= lo + w - 1) || (kstart == hi - k && n_kmers < w);
-      if (window_full) {
-        const Entry& best = queue[head];
-        if (best.hash != kInvalid && best.kstart != last_emitted) {
-          last_emitted = best.kstart;
-          if (bitmap != nullptr) {
-            const uint32_t b = best.hash & bitmap_mask;
-            if (((bitmap[b >> 3] >> (b & 7)) & 1) == 0) continue;
-          }
-          result->read_id.push_back((int32_t)r);
-          result->pos.push_back((int32_t)(best.kstart - lo));
-          result->hash.push_back(best.hash);
-          result->strand.push_back(best.strand);
-        }
+    }
+
+    // Pass 3 — forward prefix minima + per-window emission. The leftmost
+    // argmin position is non-decreasing over sliding windows, so a
+    // last-emitted check dedupes exactly and output stays position-sorted.
+    const int64_t n_win = n_kmers - we + 1;
+    uint64_t pre = ~0ull;
+    int64_t last_emitted = -1;
+    for (int64_t s = 0; s < n_win; ++s) {
+      const int64_t e = s + we - 1;
+      pre = (e % we == 0) ? keys[e] : std::min(pre, keys[e]);
+      const uint64_t m = std::min(pre, suf[s]);
+      const uint32_t h = (uint32_t)(m >> 32);
+      if (h == kInvalid) continue;
+      const int64_t kpos = (int64_t)(((uint32_t)m) >> 1);
+      if (kpos == last_emitted) continue;
+      last_emitted = kpos;
+      if (bitmap != nullptr) {
+        const uint32_t b = h & bitmap_mask;
+        if (((bitmap[b >> 3] >> (b & 7)) & 1) == 0) continue;
       }
+      result->read_id.push_back((int32_t)r);
+      result->pos.push_back((int32_t)kpos);
+      result->hash.push_back(h);
+      result->strand.push_back((int8_t)(m & 1));
     }
   }
 }
@@ -385,6 +420,31 @@ struct SeedResult {
   std::vector<int32_t> a_hi;
 };
 
+// Open-addressing exact-hash table over the index's unique minimizer
+// hashes: slot = (hash << 32) | (uniq_idx + 1), 0 = empty, linear probing
+// at <= 50% load. Replaces the per-minimizer binary search (log2(U)
+// dependent branchy probes) with ~1 cache line; built once per index and
+// shared across chunks/threads (read-only after build).
+struct HashLookup {
+  std::vector<uint64_t> slots;
+  uint64_t mask = 0;
+};
+
+HashLookup* build_hash_lookup(const uint32_t* uniq_hash, int64_t n_uniq) {
+  auto* t = new HashLookup();
+  uint64_t cap = 16;
+  while (cap < (uint64_t)n_uniq * 2) cap <<= 1;
+  t->slots.assign(cap, 0);
+  t->mask = cap - 1;
+  for (int64_t u = 0; u < n_uniq; ++u) {
+    const uint32_t h = uniq_hash[u];
+    uint64_t i = h & t->mask;
+    while (t->slots[i] != 0) i = (i + 1) & t->mask;
+    t->slots[i] = ((uint64_t)h << 32) | (uint64_t)(uint32_t)(u + 1);
+  }
+  return t;
+}
+
 struct SeedIndex {
   const uint32_t* uniq_hash;
   int64_t n_uniq;
@@ -392,6 +452,7 @@ struct SeedIndex {
   const int32_t* hit_path;
   const int32_t* hit_pos;
   const int8_t* hit_strand;
+  const HashLookup* lut = nullptr;  // optional exact-lookup accelerator
 };
 
 struct ChainParams {
@@ -425,6 +486,7 @@ void chain_reads(const int8_t* codes, const int64_t* offsets, int64_t r0,
   std::vector<size_t> kept;
   std::vector<int64_t> d0s;
   std::vector<int64_t> med;
+  ScanScratch scratch;
 
   for (int64_t r = r0; r < r1; ++r) {
     mins.read_id.clear();
@@ -432,15 +494,28 @@ void chain_reads(const int8_t* codes, const int64_t* offsets, int64_t r0,
     mins.hash.clear();
     mins.strand.clear();
     scan_minimizers(codes, offsets, r, r + 1, k, w, bitmap, bitmap_mask,
-                    &mins);
+                    &mins, &scratch);
     anchors.clear();
     const int64_t rlen = offsets[r + 1] - offsets[r];
     for (size_t i = 0; i < mins.hash.size(); ++i) {
       const uint32_t h = mins.hash[i];
-      const uint32_t* lo =
-          std::lower_bound(idx.uniq_hash, idx.uniq_hash + idx.n_uniq, h);
-      if (lo == idx.uniq_hash + idx.n_uniq || *lo != h) continue;
-      const int64_t u = lo - idx.uniq_hash;
+      int64_t u = -1;
+      if (idx.lut != nullptr) {
+        uint64_t si = h & idx.lut->mask;
+        for (uint64_t slot; (slot = idx.lut->slots[si]) != 0;
+             si = (si + 1) & idx.lut->mask) {
+          if ((uint32_t)(slot >> 32) == h) {
+            u = (int64_t)(uint32_t)slot - 1;
+            break;
+          }
+        }
+        if (u < 0) continue;
+      } else {
+        const uint32_t* lo =
+            std::lower_bound(idx.uniq_hash, idx.uniq_hash + idx.n_uniq, h);
+        if (lo == idx.uniq_hash + idx.n_uniq || *lo != h) continue;
+        u = lo - idx.uniq_hash;
+      }
       for (int64_t j = idx.hit_start[u]; j < idx.hit_start[u + 1]; ++j) {
         const int8_t strand = (int8_t)(mins.strand[i] ^ idx.hit_strand[j]);
         const int64_t rpos_eff =
@@ -584,7 +659,18 @@ void chain_reads(const int8_t* codes, const int64_t* offsets, int64_t r0,
 
 }  // namespace
 
-void* svt_chain2(const int8_t* codes, int64_t n_bases,
+// Prebuilt exact-lookup table over an index's unique hashes; pass the
+// handle to svt_chain3 (build once per index, reuse across chunks).
+void* svt_lookup_build(const uint32_t* uniq_hash, int64_t n_uniq) {
+  if (n_uniq < 0) return nullptr;
+  return build_hash_lookup(uniq_hash, n_uniq);
+}
+
+void svt_lookup_free(void* handle) {
+  delete static_cast<HashLookup*>(handle);
+}
+
+void* svt_chain3(const int8_t* codes, int64_t n_bases,
                  const int64_t* offsets, int64_t n_reads, int32_t k,
                  int32_t w, const uint8_t* bitmap, int32_t bitmap_log2,
                  const uint32_t* uniq_hash, int64_t n_uniq,
@@ -593,7 +679,8 @@ void* svt_chain2(const int8_t* codes, int64_t n_bases,
                  int32_t min_anchors, int32_t max_chains, int32_t max_gap,
                  int32_t drift_abs, int32_t drift_permille,
                  int32_t block_rows, int32_t ext_min_anchors,
-                 int32_t panel_path_limit, int32_t n_threads) {
+                 int32_t panel_path_limit, int32_t n_threads,
+                 void* lookup) {
   (void)n_bases;
   auto* result = new SeedResult();
   if (k <= 0 || k > 15 || w <= 0 || n_reads <= 0 || block_rows <= 0)
@@ -602,7 +689,9 @@ void* svt_chain2(const int8_t* codes, int64_t n_bases,
       bitmap ? ((bitmap_log2 >= 32) ? 0xFFFFFFFFu
                                     : ((1u << bitmap_log2) - 1))
              : 0;
-  SeedIndex idx{uniq_hash, n_uniq, hit_start, hit_path, hit_pos, hit_strand};
+  SeedIndex idx{uniq_hash,  n_uniq,     hit_start,
+                hit_path,   hit_pos,    hit_strand,
+                static_cast<const HashLookup*>(lookup)};
   ChainParams cp{min_anchors, max_chains,  max_gap,       drift_abs,
                  drift_permille, block_rows, ext_min_anchors};
   int T = n_threads > 0 ? n_threads
@@ -661,6 +750,24 @@ void* svt_chain2(const int8_t* codes, int64_t n_bases,
     result->a_hi.insert(result->a_hi.end(), p.a_hi.begin(), p.a_hi.end());
   }
   return result;
+}
+
+// ABI-stable wrapper (pre-lookup-handle signature).
+void* svt_chain2(const int8_t* codes, int64_t n_bases,
+                 const int64_t* offsets, int64_t n_reads, int32_t k,
+                 int32_t w, const uint8_t* bitmap, int32_t bitmap_log2,
+                 const uint32_t* uniq_hash, int64_t n_uniq,
+                 const int64_t* hit_start, const int32_t* hit_path,
+                 const int32_t* hit_pos, const int8_t* hit_strand,
+                 int32_t min_anchors, int32_t max_chains, int32_t max_gap,
+                 int32_t drift_abs, int32_t drift_permille,
+                 int32_t block_rows, int32_t ext_min_anchors,
+                 int32_t panel_path_limit, int32_t n_threads) {
+  return svt_chain3(codes, n_bases, offsets, n_reads, k, w, bitmap,
+                    bitmap_log2, uniq_hash, n_uniq, hit_start, hit_path,
+                    hit_pos, hit_strand, min_anchors, max_chains, max_gap,
+                    drift_abs, drift_permille, block_rows, ext_min_anchors,
+                    panel_path_limit, n_threads, /*lookup=*/nullptr);
 }
 
 // ABI-stable wrapper (pre-panel-limit signature).

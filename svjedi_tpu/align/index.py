@@ -65,6 +65,28 @@ class PanelIndex:
             self._bitmap = bm
         return bm
 
+    def native_lookup(self) -> int:
+        """Opaque native exact-hash table handle (0 when unavailable).
+
+        Built lazily once per index and reused by every chunk's native
+        chain call (svt_chain3); freed with the index object.
+        """
+        handle = getattr(self, "_native_lookup", None)
+        if handle is None:
+            from ..utils.native import load_native
+
+            native = load_native()
+            handle = (
+                native.lookup_build(self.uniq_hash) if native is not None
+                else 0
+            )
+            self._native_lookup = handle
+            if handle:
+                import weakref
+
+                weakref.finalize(self, native.lookup_free, handle)
+        return handle
+
     def lookup(
         self, hashes: np.ndarray
     ) -> Tuple[np.ndarray, np.ndarray]:

@@ -211,6 +211,7 @@ def seed_candidates(
             hit_strand=index.hit_strand,
             params=cp, n_threads=threads,
             panel_path_limit=panel_path_limit,
+            lookup=index.native_lookup(),
         )
         if res is not None:
             (read, path, strand, d0, support, chain_local, q_lo, q_hi,

@@ -55,6 +55,13 @@ def _add_run(sub):
              "chip; counts merge associatively)",
     )
     p.add_argument(
+        "--graph-shards", type=int, default=1, metavar="G",
+        help="on-mesh SPMD counting: run the per-(SV, allele) count merge "
+             "under shard_map on a (data x graph) device mesh (entries "
+             "sharded over data, SV tag ranges over G graph shards, one "
+             "psum); byte-equal to the host reduction",
+    )
+    p.add_argument(
         "--multihost", action="store_true",
         help="pod-slice mode: join the jax.distributed process group, "
              "shard reads by process index, allreduce counts over the "
@@ -153,7 +160,10 @@ def main(argv=None) -> int:
             prefix=args.prefix,
             align=AlignConfig(threads=max(0, args.threads)),
             genotype=GenotypeConfig(min_support=args.minsupport, err=args.err),
-            dist=DistConfig(data_shards=max(1, args.data_shards)),
+            dist=DistConfig(
+                data_shards=max(1, args.data_shards),
+                graph_shards=max(1, args.graph_shards),
+            ),
             multihost=args.multihost,
             shard=shard,
             keep_artifacts=not args.no_artifacts,

@@ -20,6 +20,10 @@ class OwnedTable(NamedTuple):
     tag: jnp.ndarray  # (n_paths, K) int32 tag ids
     allele: jnp.ndarray  # (n_paths, K) int32 0/1
     valid: jnp.ndarray  # (n_paths, K) bool
+    #: crossed graph-link ids (cluster.PanelPath.owned[..][3]); used by the
+    #: mesh count merge's per-(read, link, tag, allele) dedup. May be None
+    #: for consumers that predate it (the v3 engine ignores it).
+    link: jnp.ndarray = None  # (n_paths, K) int32
 
 
 def build_owned_table(panel, tag_to_id: Dict[str, int], k_max: int = 0) -> OwnedTable:
@@ -31,16 +35,19 @@ def build_owned_table(panel, tag_to_id: Dict[str, int], k_max: int = 0) -> Owned
     junction = np.zeros((n, K), dtype=np.int32)
     tag = np.zeros((n, K), dtype=np.int32)
     allele = np.zeros((n, K), dtype=np.int32)
+    link = np.zeros((n, K), dtype=np.int32)
     valid = np.zeros((n, K), dtype=bool)
     for pid, path in enumerate(panel.paths):
-        for col, (t, a, j, _li) in enumerate(path.owned):
+        for col, (t, a, j, li) in enumerate(path.owned):
             junction[pid, col] = j
             tag[pid, col] = tag_to_id[t]
             allele[pid, col] = a
+            link[pid, col] = li
             valid[pid, col] = True
     return OwnedTable(
         junction=jnp.asarray(junction),
         tag=jnp.asarray(tag),
         allele=jnp.asarray(allele),
         valid=jnp.asarray(valid),
+        link=jnp.asarray(link),
     )

@@ -199,6 +199,31 @@ def run_pipeline(cfg: PipelineConfig) -> Dict:
 
         jax.profiler.stop_trace()
     stats.set("n_winning_alignments", int(len(winners.read)))
+    if cfg.dist.graph_shards > 1:
+        # On-mesh SPMD count merge (dist/count_merge.py): re-derive the
+        # per-(SV, allele) matrix from the merged winners under shard_map
+        # on a (data, graph) device mesh — entries sharded over data, tag
+        # ranges over graph, ONE psum — byte-equal to the host reduction
+        # (tests/test_mesh_count.py). This is the scalable counting path
+        # for genomes whose tag table warrants sharding.
+        import jax
+
+        from .dist.count_merge import mesh_count_support
+        from .dist.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        g = min(cfg.dist.graph_shards, n_dev)
+        # Data axis: every remaining device unless --data-shards narrows it.
+        d = max(1, n_dev // g)
+        if cfg.dist.data_shards > 1:
+            d = max(1, min(cfg.dist.data_shards, d))
+        with stats.timer("mesh_count"):
+            mesh = make_mesh(data_shards=d, graph_shards=g,
+                             devices=jax.devices()[: d * g])
+            counts = mesh_count_support(
+                panel, winners, mesh, d_over=cfg.genotype.d_over
+            )
+        stats.set("mesh", f"{d}x{g}")
     if cfg.write_gaf:
         from .align.gaf_out import write_gaf as _write_gaf
 

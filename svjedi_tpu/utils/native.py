@@ -50,6 +50,17 @@ class _NativeIO:
                         lib.svt_chain.argtypes[:-1]
                         + [ctypes.c_int32, ctypes.c_int32]
                     )
+                if hasattr(lib, "svt_chain3"):
+                    lib.svt_chain3.restype = ctypes.c_void_p
+                    lib.svt_chain3.argtypes = (
+                        lib.svt_chain2.argtypes + [ctypes.c_void_p]
+                    )
+                    lib.svt_lookup_build.restype = ctypes.c_void_p
+                    lib.svt_lookup_build.argtypes = [
+                        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+                    ]
+                    lib.svt_lookup_free.restype = None
+                    lib.svt_lookup_free.argtypes = [ctypes.c_void_p]
                 lib.svt_seed_count.restype = ctypes.c_int64
                 lib.svt_seed_count.argtypes = [ctypes.c_void_p]
                 lib.svt_chain_copy.restype = None
@@ -185,6 +196,27 @@ class _NativeIO:
         finally:
             lib.svt_minimizers_free(handle)
 
+    def lookup_build(self, uniq_hash: np.ndarray) -> int:
+        """Prebuild the exact-hash lookup table for :meth:`chain`.
+
+        Returns an opaque handle (0 when the library predates svt_chain3);
+        free with :meth:`lookup_free`. The table is read-only after build
+        and shared safely across chain threads and chunks.
+        """
+        lib = self._lib
+        if not hasattr(lib, "svt_lookup_build"):
+            return 0
+        uniq_hash = np.ascontiguousarray(uniq_hash, dtype=np.uint32)
+        handle = lib.svt_lookup_build(
+            uniq_hash.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.c_int64(len(uniq_hash)),
+        )
+        return handle or 0
+
+    def lookup_free(self, handle: int) -> None:
+        if handle and hasattr(self._lib, "svt_lookup_free"):
+            self._lib.svt_lookup_free(ctypes.c_void_p(handle))
+
     def chain(
         self,
         codes: np.ndarray,
@@ -201,6 +233,7 @@ class _NativeIO:
         params,
         n_threads: int = 0,
         panel_path_limit: int = 0,
+        lookup: int = 0,
     ):
         """Full native seeding (minimizers -> lookup -> chaining -> blocks).
 
@@ -246,7 +279,14 @@ class _NativeIO:
             ctypes.c_int32(params.block_rows),
             ctypes.c_int32(params.ext_min_anchors),
         )
-        if hasattr(lib, "svt_chain2"):
+        if lookup and hasattr(lib, "svt_chain3"):
+            handle = lib.svt_chain3(
+                *common,
+                ctypes.c_int32(panel_path_limit),
+                ctypes.c_int32(n_threads),
+                ctypes.c_void_p(lookup),
+            )
+        elif hasattr(lib, "svt_chain2"):
             handle = lib.svt_chain2(
                 *common,
                 ctypes.c_int32(panel_path_limit),
