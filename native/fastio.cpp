@@ -842,20 +842,23 @@ void svt_minimizers_free(void* handle) {
 // interval, and the chain is suppressed when elsewhere strictly wins.
 // Threaded over panel-chain ranges split on read boundaries.
 // ---------------------------------------------------------------------------
-void svt_suppress(int64_t n_p, const int32_t* p_read, const int32_t* p_sup,
-                  const int64_t* p_qlo, const int64_t* p_qhi,
-                  const int32_t* p_cluster, int64_t n_d,
-                  const int32_t* d_read, const int32_t* d_path,
-                  const int8_t* d_strand, const int32_t* d_sup,
-                  const int64_t* d_qlo, const int64_t* d_qhi,
-                  const int64_t* d_tlo, const int64_t* d_thi,
-                  const int64_t* span_lo, const int64_t* span_hi,
-                  int32_t n_chroms, double overlap_frac, int64_t margin,
-                  int32_t n_threads, uint8_t* suppressed) {
+void svt_suppress2(int64_t n_p, const int32_t* p_read, const int32_t* p_sup,
+                   const int64_t* p_qlo, const int64_t* p_qhi,
+                   const int32_t* p_cluster, int64_t n_d,
+                   const int32_t* d_read, const int32_t* d_path,
+                   const int8_t* d_strand, const int32_t* d_sup,
+                   const int64_t* d_qlo, const int64_t* d_qhi,
+                   const int64_t* d_tlo, const int64_t* d_thi,
+                   const int64_t* span_lo, const int64_t* span_hi,
+                   int32_t n_chroms, double overlap_frac, int64_t margin,
+                   int32_t n_threads, uint8_t* suppressed,
+                   int32_t* out_best_other, int32_t* out_best_same) {
   auto run = [&](int64_t i0, int64_t i1) {
     int64_t dlo = 0, dhi = 0;
     for (int64_t i = i0; i < i1; ++i) {
       suppressed[i] = 0;
+      if (out_best_other) out_best_other[i] = 0;
+      if (out_best_same) out_best_same[i] = 0;
       const int32_t r = p_read[i];
       // advance the decoy window to this read (both tables read-sorted)
       if (i == i0 || (i > i0 && p_read[i - 1] != r)) {
@@ -890,6 +893,10 @@ void svt_suppress(int64_t n_p, const int32_t* p_read, const int32_t* p_sup,
         }
       }
       if (best_other > std::max(best_same, p_sup[i])) suppressed[i] = 1;
+      // Margin evidence for the mapq model: the strongest elsewhere /
+      // at-locus explanations of this chain's read interval.
+      if (out_best_other) out_best_other[i] = best_other;
+      if (out_best_same) out_best_same[i] = best_same;
     }
   };
   int T = n_threads > 0 ? n_threads
@@ -913,6 +920,23 @@ void svt_suppress(int64_t n_p, const int32_t* p_read, const int32_t* p_sup,
   for (int t = 0; t < T; ++t)
     threads.emplace_back([&, t]() { run(bounds[t], bounds[t + 1]); });
   for (auto& th : threads) th.join();
+}
+
+// ABI-stable wrapper (pre-margin-output signature).
+void svt_suppress(int64_t n_p, const int32_t* p_read, const int32_t* p_sup,
+                  const int64_t* p_qlo, const int64_t* p_qhi,
+                  const int32_t* p_cluster, int64_t n_d,
+                  const int32_t* d_read, const int32_t* d_path,
+                  const int8_t* d_strand, const int32_t* d_sup,
+                  const int64_t* d_qlo, const int64_t* d_qhi,
+                  const int64_t* d_tlo, const int64_t* d_thi,
+                  const int64_t* span_lo, const int64_t* span_hi,
+                  int32_t n_chroms, double overlap_frac, int64_t margin,
+                  int32_t n_threads, uint8_t* suppressed) {
+  svt_suppress2(n_p, p_read, p_sup, p_qlo, p_qhi, p_cluster, n_d, d_read,
+                d_path, d_strand, d_sup, d_qlo, d_qhi, d_tlo, d_thi,
+                span_lo, span_hi, n_chroms, overlap_frac, margin, n_threads,
+                suppressed, nullptr, nullptr);
 }
 
 }  // extern "C"

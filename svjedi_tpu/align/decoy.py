@@ -191,8 +191,15 @@ def suppress_candidates(
     chain_params: ChainParams,
     threads: int = 0,
     dec: Candidates = None,
+    return_margins: bool = False,
 ) -> np.ndarray:
     """Return a keep-mask over ``cands`` rows (False = suppressed chain).
+
+    With ``return_margins``, returns (keep, dec_other, dec_same): per-ROW
+    copies of the chain's strongest elsewhere / at-locus decoy anchor
+    supports — the evidence the mapq model turns into a confidence margin
+    (a surviving chain with dec_other close to max(dec_same, own support)
+    barely beat its best alternative placement).
 
     ``dec`` passes pre-seeded decoy chains in (the combined-index seeding
     path splits one scan into panel + decoy rows); when None the decoy
@@ -209,9 +216,23 @@ def suppress_candidates(
     chain merely touching the cluster span with its tip must not
     whitelist junk that maps those read bases elsewhere.
     """
+    def ret(keep, chain_other=None, chain_same=None, p_chain=None):
+        if not return_margins:
+            return keep
+        row_other = np.zeros(len(cands), dtype=np.int32)
+        row_same = np.zeros(len(cands), dtype=np.int32)
+        if chain_other is not None and len(p_chain):
+            # p_chain is sorted (np.unique); map chain-level margins to rows
+            ci = np.searchsorted(p_chain, cands.chain)
+            ci = np.clip(ci, 0, len(p_chain) - 1)
+            hit = p_chain[ci] == cands.chain
+            row_other[hit] = chain_other[ci[hit]]
+            row_same[hit] = chain_same[ci[hit]]
+        return keep, row_other, row_same
+
     n = len(cands)
     if n == 0:
-        return np.ones(0, dtype=bool)
+        return ret(np.ones(0, dtype=bool))
     if dec is None:
         dec = seed_candidates(
             reads, decoy.index, chain_params=chain_params, threads=threads
@@ -223,7 +244,7 @@ def suppress_candidates(
         _chain_table(cands, reads.lengths)
     )
     if len(d_chain) == 0:
-        return np.ones(n, dtype=bool)
+        return ret(np.ones(n, dtype=bool))
     p_cluster = index.path_cluster[p_path].astype(np.int64)
 
     # Hot path: the native threaded inner loop (fastio.cpp svt_suppress,
@@ -234,15 +255,26 @@ def suppress_candidates(
 
     native = load_native()
     if native is not None and hasattr(native._lib, "svt_suppress"):
-        suppressed_rows = native.suppress(
+        res = native.suppress(
             p_read, p_sup, p_qlo, p_qhi, p_cluster,
             d_read, d_path, d_strand, d_sup, d_qlo, d_qhi, d_tlo, d_thi,
             decoy.span_lo, decoy.span_hi, len(decoy.chrom_of_path),
             decoy.overlap_frac, decoy.margin, n_threads=threads,
-        ).astype(bool)
-        if not suppressed_rows.any():
-            return np.ones(n, dtype=bool)
-        return ~np.isin(cands.chain, p_chain[suppressed_rows])
+            return_margins=return_margins,
+        )
+        if res is not None:
+            if return_margins:
+                suppressed_rows, c_other, c_same = res
+                suppressed_rows = suppressed_rows.astype(bool)
+                if suppressed_rows.any():
+                    keep = ~np.isin(cands.chain, p_chain[suppressed_rows])
+                else:
+                    keep = np.ones(n, dtype=bool)
+                return ret(keep, c_other, c_same, p_chain)
+            suppressed_rows = res.astype(bool)
+            if not suppressed_rows.any():
+                return np.ones(n, dtype=bool)
+            return ~np.isin(cands.chain, p_chain[suppressed_rows])
 
     # Expand (panel chain, same-read decoy chain) pairs; everything below
     # is vectorized over pairs (the per-chain Python loop cost ~1.3 ms per
@@ -254,7 +286,7 @@ def suppress_candidates(
     counts = hi - lo
     total = int(counts.sum())
     if total == 0:
-        return np.ones(n, dtype=bool)
+        return ret(np.ones(n, dtype=bool))
     prefix = np.zeros(len(counts), dtype=np.int64)
     np.cumsum(counts[:-1], out=prefix[1:])
     flat = np.arange(total, dtype=np.int64) - np.repeat(prefix, counts)
@@ -294,6 +326,13 @@ def suppress_candidates(
     np.maximum.at(best_other, pair_p[m_other], sup[m_other])
 
     suppressed_rows = best_other > np.maximum(best_same, p_sup)
-    if not suppressed_rows.any():
-        return np.ones(n, dtype=bool)
-    return ~np.isin(cands.chain, p_chain[suppressed_rows])
+    if suppressed_rows.any():
+        keep = ~np.isin(cands.chain, p_chain[suppressed_rows])
+    else:
+        keep = np.ones(n, dtype=bool)
+    return ret(
+        keep,
+        best_other.astype(np.int32),
+        best_same.astype(np.int32),
+        p_chain,
+    )

@@ -61,7 +61,9 @@ def winners_to_gaf(
             pend=te_full + 1,
             matches=matches,
             block_len=block,
-            mapq=60,
+            mapq=(
+                int(winners.mapq[i]) if winners.mapq is not None else 60
+            ),
             identity=matches / block,
         )
 

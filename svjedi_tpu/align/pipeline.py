@@ -440,6 +440,42 @@ def collect_outs(dispatches: Sequence[ChunkDispatch]) -> List[List[np.ndarray]]:
     return per
 
 
+def compute_mapq(
+    score: np.ndarray,
+    s2: np.ndarray,
+    support: np.ndarray,
+    dec_other: np.ndarray,
+    dec_same: np.ndarray,
+) -> np.ndarray:
+    """minimap2-style mapping quality from the aligner's own margins.
+
+    Replaces the round-2 constant-60 placeholder (GAF col 12 semantics,
+    filter-alignments.py:184-198). Two independent ambiguity sources, each
+    a [0, 1] confidence factor; the final mapq takes the weaker one:
+
+    - ``s2/score``: best SAME-PATH chain rejected for >=50% read-interval
+      overlap with this winner (a repeat-shifted alternative placement on
+      the same haplotype sequence; minimap2's f2/f1 term).
+    - ``dec_other / max(dec_same, support)``: the whole-genome decoy
+      competition's margin — the strongest elsewhere-in-the-genome
+      explanation of these read bases vs the strongest at-locus evidence
+      (decoy.suppress_candidates; survivors have ratio <= 1, ties -> 0).
+
+    Scaled by min(1, support/10) (thin-anchor chains cap out lower, the
+    minimap2 mlen/10 term), to the conventional [0, 60] range.
+    """
+    n = len(score)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    s1 = np.maximum(score.astype(np.float64), 1.0)
+    f_rep = 1.0 - s2.astype(np.float64) / s1
+    denom = np.maximum(np.maximum(dec_same, support), 1).astype(np.float64)
+    f_dec = 1.0 - dec_other.astype(np.float64) / denom
+    f = np.clip(np.minimum(f_rep, f_dec), 0.0, 1.0)
+    f *= np.minimum(1.0, support.astype(np.float64) / 10.0)
+    return np.clip(np.floor(60.0 * f + 0.5), 0, 60).astype(np.int64)
+
+
 def finalize_chunk(
     reads: ReadSet,
     index: PanelIndex,
@@ -564,37 +600,53 @@ def finalize_chunk(
     a_qlo = np.where(a_strand == 0, c_alo, a_rlen - c_ahi)
     a_qhi = np.where(a_strand == 0, c_ahi, a_rlen - c_alo)
     key = a_read * (cluster_all.max() + 1) + cluster_all[rep]
+    a_path = cands.path[rep].astype(np.int64)
     order2 = np.lexsort((alive, -chain_score[alive], key))
     key_s = key[order2]
     grp_start = np.ones(len(order2), dtype=bool)
     grp_start[1:] = key_s[1:] != key_s[:-1]
     kept_rows: List[int] = []
+    #: per kept row: best SAME-PATH challenger chain score rejected for
+    #: >=50% read-interval overlap with it (repeat-shifted placement on the
+    #: same haplotype sequence). Cross-path overlap rejections are allele
+    #: competition — the graph aligner resolves those at full confidence
+    #: (minigraph maps against the whole graph and reports one path), so
+    #: they must NOT depress mapq.
+    kept_s2: List[int] = []
     MAX_PRIMARY = 8
     starts = np.flatnonzero(grp_start)
     bounds = np.append(starts, len(order2))
     for gi in range(len(starts)):
         kept_lo: List[int] = []
         kept_hi: List[int] = []
+        kept_base = len(kept_rows)
         for row in order2[bounds[gi] : bounds[gi + 1]]:
             if len(kept_lo) >= MAX_PRIMARY:
                 break
             lo, hi = int(a_qlo[row]), int(a_qhi[row])
             span = max(1, hi - lo)
             ok = True
-            for klo, khi in zip(kept_lo, kept_hi):
+            for ki, (klo, khi) in enumerate(zip(kept_lo, kept_hi)):
                 ov = min(hi, khi) - max(lo, klo)
                 if ov >= 0.5 * span:
                     ok = False
+                    kept_idx = kept_base + ki
+                    if a_path[row] == a_path[kept_rows[kept_idx]]:
+                        kept_s2[kept_idx] = max(
+                            kept_s2[kept_idx],
+                            int(chain_score[alive[row]]),
+                        )
                     break
             if ok:
                 kept_lo.append(lo)
                 kept_hi.append(hi)
                 kept_rows.append(row)
+                kept_s2.append(0)
     win_chain = alive[np.asarray(kept_rows, dtype=np.int64)]
 
     win = first_blk[win_chain]
     last = last_blk[win_chain]
-    return Winners(
+    winners = Winners(
         read=cands.read[win].astype(np.int64),
         cluster=cluster_all[win],
         path=cands.path[win].astype(np.int64),
@@ -608,7 +660,15 @@ def finalize_chunk(
         + cands.d0[win].astype(np.int64),
         anchor_te=cands.a_hi[last].astype(np.int64) - 1
         + cands.d0[last].astype(np.int64),
-    ), win
+    )
+    winners.mapq = compute_mapq(
+        score=chain_score[win_chain],
+        s2=np.asarray(kept_s2, dtype=np.int64),
+        support=cands.n_anchors[win].astype(np.int64),
+        dec_other=cands.dec_other[win].astype(np.int64),
+        dec_same=cands.dec_same[win].astype(np.int64),
+    )
+    return winners, win
 
 
 def dispatch_rev(
@@ -1255,10 +1315,12 @@ def align_and_count(
             is_panel = cands.path < n_panel_paths
             dec = cands.take(~is_panel, path_offset=-n_panel_paths)
             cands = cands.take(is_panel)
-            keep = suppress_candidates(
+            keep, dec_other, dec_same = suppress_candidates(
                 chunk, cands, index, decoy, chain_params,
-                threads=align_cfg.threads, dec=dec,
+                threads=align_cfg.threads, dec=dec, return_margins=True,
             )
+            cands.dec_other = dec_other
+            cands.dec_same = dec_same
             if not keep.all():
                 cands = cands.take(keep)
         return cands, time.perf_counter() - ts0

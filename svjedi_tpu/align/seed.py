@@ -52,6 +52,11 @@ class Candidates:
     #: chain anchor extent (oriented read coords; same on every block row)
     a_lo: np.ndarray = None  # int32
     a_hi: np.ndarray = None  # int32
+    #: decoy-competition margins (strongest elsewhere / at-locus decoy
+    #: anchor support for the chain; decoy.suppress_candidates margins) —
+    #: zeros until the suppression stage fills them. Feed the mapq model.
+    dec_other: np.ndarray = None  # int32
+    dec_same: np.ndarray = None  # int32
 
     def __post_init__(self):
         if self.chain is None:
@@ -64,6 +69,10 @@ class Candidates:
             self.a_lo = self.q_lo
         if self.a_hi is None:
             self.a_hi = self.q_hi
+        if self.dec_other is None:
+            self.dec_other = np.zeros(len(self.read), dtype=np.int32)
+        if self.dec_same is None:
+            self.dec_same = np.zeros(len(self.read), dtype=np.int32)
 
     def __len__(self) -> int:
         return len(self.read)
@@ -84,6 +93,8 @@ class Candidates:
             q_hi=self.q_hi[mask],
             a_lo=self.a_lo[mask],
             a_hi=self.a_hi[mask],
+            dec_other=self.dec_other[mask],
+            dec_same=self.dec_same[mask],
         )
 
 

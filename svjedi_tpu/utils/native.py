@@ -112,6 +112,11 @@ class _NativeIO:
                 ctypes.c_int32, ctypes.c_double, ctypes.c_int64,
                 ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8),
             ]
+            if hasattr(lib, "svt_suppress2"):
+                lib.svt_suppress2.restype = None
+                lib.svt_suppress2.argtypes = (
+                    lib.svt_suppress.argtypes + [i32p, i32p]
+                )
         lib.svt_read_sequences.restype = ctypes.c_void_p
         lib.svt_read_sequences.argtypes = [ctypes.c_char_p]
         lib.svt_result_n_reads.restype = ctypes.c_int64
@@ -335,15 +340,19 @@ class _NativeIO:
         d_read, d_path, d_strand, d_sup, d_qlo, d_qhi, d_tlo, d_thi,
         span_lo, span_hi, n_chroms: int, overlap_frac: float, margin: int,
         n_threads: int = 0,
+        return_margins: bool = False,
     ) -> Optional[np.ndarray]:
         """Native decoy-suppression inner loop (align/decoy.py semantics).
 
         Both chain tables must be sorted by read id. Returns a uint8
-        suppressed flag per panel chain, or None when the library predates
-        svt_suppress.
+        suppressed flag per panel chain (with ``return_margins`` a
+        (suppressed, best_other, best_same) triple), or None when the
+        library predates svt_suppress / svt_suppress2.
         """
         lib = self._lib
         if not hasattr(lib, "svt_suppress"):
+            return None
+        if return_margins and not hasattr(lib, "svt_suppress2"):
             return None
 
         def arr(a, dt):
@@ -369,7 +378,7 @@ class _NativeIO:
         span_lo = arr(span_lo, np.int64)
         span_hi = arr(span_hi, np.int64)
         out = np.zeros(len(p_read), dtype=np.uint8)
-        lib.svt_suppress(
+        common = (
             ctypes.c_int64(len(p_read)),
             p_read.ctypes.data_as(i32), p_sup.ctypes.data_as(i32),
             p_qlo.ctypes.data_as(i64), p_qhi.ctypes.data_as(i64),
@@ -385,6 +394,16 @@ class _NativeIO:
             ctypes.c_int64(margin), ctypes.c_int32(n_threads),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
+        if return_margins:
+            best_other = np.zeros(len(p_read), dtype=np.int32)
+            best_same = np.zeros(len(p_read), dtype=np.int32)
+            lib.svt_suppress2(
+                *common,
+                best_other.ctypes.data_as(i32),
+                best_same.ctypes.data_as(i32),
+            )
+            return out, best_other, best_same
+        lib.svt_suppress(*common)
         return out
 
     def read_sequences(
