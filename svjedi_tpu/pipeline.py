@@ -135,6 +135,32 @@ def run_pipeline(cfg: PipelineConfig) -> Dict:
     stats.set("n_clusters", len(panel.clusters))
     stats.set("n_panel_paths", panel.n_paths)
     stats.set("panel_bases", panel.total_bases())
+    truncated = [cl.cluster_id for cl in panel.clusters if cl.truncated]
+    stats.set("panel_truncated_clusters", len(truncated))
+    if truncated:
+        # Every (SV, allele) link stays countable via the per-SV fallback
+        # sub-panels (graph/cluster.py build_panel), but combination
+        # haplotypes beyond the cap are not enumerated — genotypes in
+        # these neighborhoods may degrade; never silently.
+        import sys as _sys
+
+        affected = sorted({
+            t
+            for cl in panel.clusters
+            if cl.truncated
+            for pi in cl.paths
+            for (t, *_rest) in panel.paths[pi].owned
+        })
+        print(
+            f"[panel] WARNING: {len(truncated)} cluster(s) hit the "
+            f"haplotype-walk enumeration cap "
+            f"(max_paths_per_cluster={cfg.align.max_paths_per_cluster}); "
+            "per-SV fallback sub-panels keep every allele countable. "
+            f"Affected SVs: {', '.join(affected[:12])}"
+            + (" ..." if len(affected) > 12 else ""),
+            file=_sys.stderr,
+        )
+        stats.set("panel_truncated_svs", affected)
 
     decoy = None
     if cfg.align.decoy:
