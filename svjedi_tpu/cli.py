@@ -131,8 +131,7 @@ def _honor_platform_env() -> None:
             pass
 
 
-def main(argv=None) -> int:
-    _honor_platform_env()
+def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="svjedi_tpu",
         description="TPU-native structural-variant genotyping for long reads",
@@ -140,7 +139,12 @@ def main(argv=None) -> int:
     sub = parser.add_subparsers(dest="command", required=True)
     _add_run(sub)
     _add_stage_parsers(sub)
-    args = parser.parse_args(argv)
+    return parser
+
+
+def main(argv=None) -> int:
+    _honor_platform_env()
+    args = build_parser().parse_args(argv)
 
     if args.command == "run":
         from .config import (

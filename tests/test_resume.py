@@ -52,7 +52,16 @@ def test_resume_skips_align_and_reproduces_vcf(tmp_path, monkeypatch):
 
 
 def test_cli_exposes_resume():
-    import svjedi_tpu.cli as cli
+    """--resume must parse and reach PipelineConfig (not just exist as a
+    string in the source — the round-2 review flagged the grep version)."""
+    from svjedi_tpu.cli import build_parser
 
-    parser_src = open(cli.__file__).read()
-    assert "--resume" in parser_src
+    args = build_parser().parse_args([
+        "run", "-v", "a.vcf", "-r", "r.fa", "-q", "x.fq", "-p", "out",
+        "--resume",
+    ])
+    assert args.resume is True
+    args2 = build_parser().parse_args([
+        "run", "-v", "a.vcf", "-r", "r.fa", "-q", "x.fq", "-p", "out",
+    ])
+    assert args2.resume is False
