@@ -136,6 +136,20 @@ def _scale_bench() -> int:
         reads, panel, index, cfg, gcfg, collect_audit=False, decoy=decoy
     )
     dt = time.perf_counter() - t0
+    # Memory/size profile for PERF.md's scale table (stderr, not the
+    # driver's JSON line).
+    import resource
+
+    peak_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    print(
+        f"[scale] genome={mb}Mb svs={n_svs} cov={cov} "
+        f"reads={reads.n_reads} read_bases={int(reads.codes.size/1e6)}Mb "
+        f"panel_paths={len(panel.paths)} "
+        f"panel_bases={sum(p.length for p in panel.paths)/1e6:.1f}Mb "
+        f"decoy_hits={len(decoy.index.hit_path) if decoy else 0} "
+        f"align_s={dt:.1f} peak_host_rss_gb={peak_rss_gb:.1f}",
+        file=sys.stderr,
+    )
     print(json.dumps({
         "metric": "scale_reads_per_s_per_chip",
         "value": round(reads.n_reads / dt, 2),

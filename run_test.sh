@@ -35,7 +35,12 @@ if diff -q test_genotype.vcf.eval "$TESTDIR/expected_genotype.vcf.eval" \
         "$TESTDIR/expected_genotype.vcf" 1>/dev/null 2>&1; then
         echo "VCF lines are identical"
     else
-        echo "Genotypes are correct but VCF lines differ"
+        NDIFF=$(diff --ignore-matching-lines="^#" test_genotype.vcf \
+            "$TESTDIR/expected_genotype.vcf" 2>/dev/null \
+            | grep -c '^<' || true)
+        echo "Genotypes are correct but VCF lines differ" \
+            "($NDIFF records, DP/AD count deltas; see PARITY.md +" \
+            "PARITY_DELTAS.tsv)"
     fi
     exit 0
 else

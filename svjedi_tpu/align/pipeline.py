@@ -886,6 +886,65 @@ def prune_secondaries(
     return out
 
 
+def cross_cluster_prune(winners: Winners, reads: ReadSet) -> Winners:
+    """Read-level primary selection across ALL clusters, density-ranked.
+
+    minigraph picks one primary alignment per read segment over the whole
+    graph; our per-(read, cluster) fragments compete only within their
+    cluster, so a read claiming two distant loci with the SAME bases keeps
+    both. Greedily keep fragments per read by score DENSITY (score/span —
+    raw-score ranking favors long mediocre fragments; the density variant
+    measured 25 -> 24 extra crossings with zero under-counts on the golden
+    bundle, tools/parity_experiments.py) under the mask_level 0.5 overlap
+    rule in forward-read coordinates. Fragments at different loci cover
+    different read intervals and never mask each other.
+    """
+    n = len(winners.read)
+    if n == 0:
+        return winners
+    rlen = reads.lengths[winners.read]
+    q_lo = np.where(winners.strand == 0, winners.qs, rlen - 1 - winners.qe)
+    q_hi = np.where(winners.strand == 0, winners.qe, rlen - 1 - winners.qs)
+    span = np.maximum(
+        1,
+        np.maximum(q_hi - q_lo + 1, winners.te - winners.ts + 1),
+    )
+    dens = winners.score / span
+    keep = np.zeros(n, dtype=bool)
+    order = np.lexsort((np.arange(n), -dens, winners.read))
+    read_s = winners.read[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], read_s[1:] != read_s[:-1]])
+    )
+    bounds = np.append(starts, n)
+    for gi in range(len(starts)):
+        kept: List[Tuple[int, int]] = []
+        for row in order[bounds[gi] : bounds[gi + 1]]:
+            lo, hi = int(q_lo[row]), int(q_hi[row])
+            sp = max(1, hi - lo + 1)
+            if all(
+                min(hi, kh) - max(lo, kl) + 1 < 0.5 * sp for kl, kh in kept
+            ):
+                kept.append((lo, hi))
+                keep[row] = True
+    if keep.all():
+        return winners
+    out = Winners(
+        *[
+            getattr(winners, f)[keep]
+            for f in (
+                "read", "cluster", "path", "strand", "score",
+                "qs", "qe", "ts", "te",
+            )
+        ]
+    )
+    for f in ("matches", "blocklen", "mapq", "anchor_ts", "anchor_te"):
+        v = getattr(winners, f)
+        if v is not None:
+            setattr(out, f, v[keep])
+    return out
+
+
 def count_support(
     panel: Panel,
     winners: Winners,
@@ -1182,6 +1241,7 @@ def align_and_count(
 
     def accumulate(start, chunk, disp, winners):
         winners = prune_secondaries(winners, chunk, align_cfg)
+        winners = cross_cluster_prune(winners, chunk)
         if collect_audit:
             compute_winner_stats(chunk, panel, winners, align_cfg)
         chunk_counts, chunk_audit = count_support(

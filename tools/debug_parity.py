@@ -48,6 +48,14 @@ def main():
     }
     gold = golden_raw_counts()
     ndiff = 0
+    tsv = None
+    for arg in sys.argv[2:]:
+        if arg.startswith("--tsv="):
+            tsv = open(arg.split("=", 1)[1], "w")
+            tsv.write(
+                "tag\tgolden_ref\tgolden_alt\tours_ref\tours_alt\t"
+                "delta_ref\tdelta_alt\n"
+            )
     for tag in sorted(gold):
         g = gold[tag]
         o = ours.get(tag, (0, 0))
@@ -55,8 +63,15 @@ def main():
         if g != o:
             ndiff += 1
             mark = f"  <-- ref {o[0]-g[0]:+d} alt {o[1]-g[1]:+d}"
+            if tsv:
+                tsv.write(
+                    f"{tag}\t{g[0]}\t{g[1]}\t{o[0]}\t{o[1]}\t"
+                    f"{o[0]-g[0]:+d}\t{o[1]-g[1]:+d}\n"
+                )
         print(f"{tag:32s} golden={g} ours={o}{mark}")
     print(f"\n{ndiff} SVs differ")
+    if tsv:
+        tsv.close()
     if "--geometry" in sys.argv:
         for tag in sorted(gold):
             if gold[tag] == ours.get(tag, (0, 0)):
