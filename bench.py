@@ -272,13 +272,16 @@ def main() -> int:
     # device DP of chunk i (align_and_count's seeder thread); one monolithic
     # chunk would serialize them.
     chunk_reads = int(os.environ.get("SVJT_BENCH_CHUNK_READS", "1024"))
+    # Small flush groups overlap the fetch/winner/reverse rounds with the
+    # seeder thread's later chunks (see align_and_count); 2 measured best.
+    flush_every = int(os.environ.get("SVJT_BENCH_FLUSH_EVERY", "2"))
     dt = None
     for pass_i in range(n_passes):
         timings = {}
         t0 = time.perf_counter()
         align_and_count(reps, panel, index, align_cfg, genotype_cfg,
                         collect_audit=False, timings=timings, decoy=decoy,
-                        chunk_reads=chunk_reads)
+                        chunk_reads=chunk_reads, flush_every=flush_every)
         pass_dt = time.perf_counter() - t0
         if pass_i > 0:
             dt = pass_dt if dt is None else min(dt, pass_dt)

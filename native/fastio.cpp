@@ -465,40 +465,44 @@ struct ChainParams {
   int32_t ext_min_anchors;
 };
 
-void chain_reads(const int8_t* codes, const int64_t* offsets, int64_t r0,
-                 int64_t r1, int32_t k, int32_t w, const uint8_t* bitmap,
-                 uint32_t bitmap_mask, const SeedIndex& idx,
-                 const ChainParams& cp, SeedResult* out,
-                 int32_t panel_path_limit = 0) {
-  struct Anchor {
-    int64_t key;  // (path << 1 | strand) — group within the read
-    int64_t rpos;
-    int64_t diag;
-  };
-  std::vector<Anchor> anchors;
-  MinimizerResult mins;
+struct Anchor {
+  int64_t key;  // (path << 1 | strand) — group within the read
+  int64_t rpos;
+  int64_t diag;
+};
 
-  struct Chain {
-    int64_t last_rpos, last_diag;
-    std::vector<int32_t> idx;  // indices into the group's anchor range
-  };
-  std::vector<Chain> chains;
+struct ChainHyp {
+  int64_t last_rpos, last_diag;
+  std::vector<int32_t> idx;  // indices into the group's anchor range
+};
+
+// Reusable per-thread scratch for chain_one_read (avoids reallocation).
+struct ChainScratch {
+  std::vector<Anchor> anchors;
+  std::vector<ChainHyp> chains;
   std::vector<size_t> kept;
   std::vector<int64_t> d0s;
   std::vector<int64_t> med;
-  ScanScratch scratch;
+};
 
-  for (int64_t r = r0; r < r1; ++r) {
-    mins.read_id.clear();
-    mins.pos.clear();
-    mins.hash.clear();
-    mins.strand.clear();
-    scan_minimizers(codes, offsets, r, r + 1, k, w, bitmap, bitmap_mask,
-                    &mins, &scratch);
+// Anchors -> chains -> blocks for ONE read given its minimizers (pos local
+// to the read, position-sorted). Factored out of chain_reads so the
+// device-scan path (svt_chain4: minimizers computed on the TPU device,
+// align/dev_scan.py) shares the exact lookup + chaining semantics.
+void chain_one_read(int64_t r, int64_t rlen, const int32_t* mpos,
+                    const uint32_t* mhash, const int8_t* mstrand, int64_t nm,
+                    int32_t k, const SeedIndex& idx, const ChainParams& cp,
+                    SeedResult* out, int32_t panel_path_limit,
+                    ChainScratch& cs) {
+  std::vector<Anchor>& anchors = cs.anchors;
+  std::vector<ChainHyp>& chains = cs.chains;
+  std::vector<size_t>& kept = cs.kept;
+  std::vector<int64_t>& d0s = cs.d0s;
+  std::vector<int64_t>& med = cs.med;
+  {
     anchors.clear();
-    const int64_t rlen = offsets[r + 1] - offsets[r];
-    for (size_t i = 0; i < mins.hash.size(); ++i) {
-      const uint32_t h = mins.hash[i];
+    for (int64_t i = 0; i < nm; ++i) {
+      const uint32_t h = mhash[i];
       int64_t u = -1;
       if (idx.lut != nullptr) {
         uint64_t si = h & idx.lut->mask;
@@ -517,15 +521,15 @@ void chain_reads(const int8_t* codes, const int64_t* offsets, int64_t r0,
         u = lo - idx.uniq_hash;
       }
       for (int64_t j = idx.hit_start[u]; j < idx.hit_start[u + 1]; ++j) {
-        const int8_t strand = (int8_t)(mins.strand[i] ^ idx.hit_strand[j]);
+        const int8_t strand = (int8_t)(mstrand[i] ^ idx.hit_strand[j]);
         const int64_t rpos_eff =
-            strand == 0 ? (int64_t)mins.pos[i]
-                        : rlen - k - (int64_t)mins.pos[i];
+            strand == 0 ? (int64_t)mpos[i]
+                        : rlen - k - (int64_t)mpos[i];
         anchors.push_back({((int64_t)idx.hit_path[j] << 1) | strand,
                            rpos_eff, idx.hit_pos[j] - rpos_eff});
       }
     }
-    if (anchors.empty()) continue;
+    if (anchors.empty()) return;
     // Merged panel+decoy seeding: a read with no panel anchor can never
     // contribute a count, and decoy chains are consulted only for reads
     // with panel chains — skip the whole read before the sort/chain work.
@@ -537,7 +541,7 @@ void chain_reads(const int8_t* codes, const int64_t* offsets, int64_t r0,
           break;
         }
       }
-      if (!has_panel) continue;
+      if (!has_panel) return;
     }
     std::sort(anchors.begin(), anchors.end(),
               [](const Anchor& a, const Anchor& b) {
@@ -594,7 +598,7 @@ void chain_reads(const int8_t* codes, const int64_t* offsets, int64_t r0,
       const int64_t R = cp.block_rows;
       const int64_t kMissing = INT64_MIN;
       for (size_t kj : kept) {
-        const Chain& ch = chains[kj];
+        const ChainHyp& ch = chains[kj];
         const int64_t q_first = anchors[s + ch.idx.front()].rpos;
         const int64_t q_last = anchors[s + ch.idx.back()].rpos;
         const int64_t b_first = q_first / R, b_last = q_last / R;
@@ -654,6 +658,116 @@ void chain_reads(const int8_t* codes, const int64_t* offsets, int64_t r0,
       }
       s = g_end;
     }
+  }
+}
+
+void chain_reads(const int8_t* codes, const int64_t* offsets, int64_t r0,
+                 int64_t r1, int32_t k, int32_t w, const uint8_t* bitmap,
+                 uint32_t bitmap_mask, const SeedIndex& idx,
+                 const ChainParams& cp, SeedResult* out,
+                 int32_t panel_path_limit = 0) {
+  MinimizerResult mins;
+  ScanScratch scratch;
+  ChainScratch cs;
+  for (int64_t r = r0; r < r1; ++r) {
+    mins.read_id.clear();
+    mins.pos.clear();
+    mins.hash.clear();
+    mins.strand.clear();
+    scan_minimizers(codes, offsets, r, r + 1, k, w, bitmap, bitmap_mask,
+                    &mins, &scratch);
+    if (mins.hash.empty()) continue;
+    chain_one_read(r, offsets[r + 1] - offsets[r], mins.pos.data(),
+                   mins.hash.data(), mins.strand.data(),
+                   (int64_t)mins.hash.size(), k, idx, cp, out,
+                   panel_path_limit, cs);
+  }
+}
+
+// Lookup + chaining from the device scan's emission BITMASK (bit p set =
+// global k-mer start p is a minimizer of its read; LSB-first bytes, the
+// align/dev_scan.py pack order). Hash/strand are recomputed here from the
+// codes (direct 2-bit packing — identical to the rolling formulation),
+// the panel bitmap + exact lookup applied, then chain_one_read. Reads
+// with fewer than w k-mers (shrunken effective window, not expressible in
+// the device's flat formulation) fall back to the native per-read scan.
+void chain_bits_range(const int8_t* codes, const int64_t* offsets,
+                      int64_t r0, int64_t r1, int32_t k, int32_t w,
+                      const uint8_t* emit_bits, const uint8_t* bitmap,
+                      uint32_t bitmap_mask, const SeedIndex& idx,
+                      const ChainParams& cp, SeedResult* out,
+                      int32_t panel_path_limit) {
+  MinimizerResult mins;
+  ScanScratch scratch;
+  ChainScratch cs;
+  for (int64_t r = r0; r < r1; ++r) {
+    const int64_t lo = offsets[r], hi = offsets[r + 1];
+    const int64_t n_kmers = hi - lo - k + 1;
+    if (n_kmers <= 0) continue;
+    mins.read_id.clear();
+    mins.pos.clear();
+    mins.hash.clear();
+    mins.strand.clear();
+    if (n_kmers < w) {
+      scan_minimizers(codes, offsets, r, r + 1, k, w, bitmap, bitmap_mask,
+                      &mins, &scratch);
+    } else {
+      const int64_t pend = lo + n_kmers;
+      for (int64_t by = lo >> 3; by < ((pend + 7) >> 3); ++by) {
+        uint8_t v = emit_bits[by];
+        while (v) {
+          const int bit = __builtin_ctz(v);
+          v = (uint8_t)(v & (v - 1));
+          const int64_t p = (by << 3) + bit;
+          if (p < lo || p >= pend) continue;
+          uint32_t fwd = 0, rc = 0;
+          bool ok = true;
+          for (int32_t j = 0; j < k; ++j) {
+            const int8_t cc = codes[p + j];
+            if (cc >= 4 || cc < 0) {  // defensive: device excludes N
+              ok = false;
+              break;
+            }
+            fwd = (fwd << 2) | (uint32_t)cc;
+            rc |= (uint32_t)(3 - cc) << (2 * j);
+          }
+          if (!ok || fwd == rc) continue;
+          const bool s = rc < fwd;
+          const uint32_t h = fmix32(s ? rc : fwd);
+          if (bitmap != nullptr) {
+            const uint32_t b = h & bitmap_mask;
+            if (((bitmap[b >> 3] >> (b & 7)) & 1) == 0) continue;
+          }
+          mins.pos.push_back((int32_t)(p - lo));
+          mins.hash.push_back(h);
+          mins.strand.push_back((int8_t)(s ? 1 : 0));
+        }
+      }
+    }
+    if (mins.hash.empty()) continue;
+    chain_one_read(r, hi - lo, mins.pos.data(), mins.hash.data(),
+                   mins.strand.data(), (int64_t)mins.hash.size(), k, idx,
+                   cp, out, panel_path_limit, cs);
+  }
+}
+
+// Lookup + chaining over a PREcomputed minimizer list (read-major,
+// position-sorted within each read — the device scan's emission order).
+void chain_mins_range(const int64_t* offsets, const int32_t* m_read,
+                      const int32_t* m_pos, const uint32_t* m_hash,
+                      const int8_t* m_strand, int64_t i0, int64_t i1,
+                      int32_t k, const SeedIndex& idx, const ChainParams& cp,
+                      SeedResult* out, int32_t panel_path_limit) {
+  ChainScratch cs;
+  int64_t i = i0;
+  while (i < i1) {
+    const int32_t r = m_read[i];
+    int64_t j = i;
+    while (j < i1 && m_read[j] == r) ++j;
+    chain_one_read(r, offsets[r + 1] - offsets[r], m_pos + i, m_hash + i,
+                   m_strand + i, j - i, k, idx, cp, out, panel_path_limit,
+                   cs);
+    i = j;
   }
 }
 
@@ -719,6 +833,179 @@ void* svt_chain3(const int8_t* codes, int64_t n_bases,
     threads.emplace_back([&, t]() {
       chain_reads(codes, offsets, bounds[t], bounds[t + 1], k, w, bitmap,
                   bitmap_mask, idx, cp, &parts[t], panel_path_limit);
+    });
+  }
+  for (auto& th : threads) th.join();
+  size_t n = 0;
+  for (const auto& p : parts) n += p.read.size();
+  result->read.reserve(n);
+  result->path.reserve(n);
+  result->strand.reserve(n);
+  result->d0.reserve(n);
+  result->support.reserve(n);
+  result->chain.reserve(n);
+  result->q_lo.reserve(n);
+  result->q_hi.reserve(n);
+  result->a_lo.reserve(n);
+  result->a_hi.reserve(n);
+  for (const auto& p : parts) {
+    result->read.insert(result->read.end(), p.read.begin(), p.read.end());
+    result->path.insert(result->path.end(), p.path.begin(), p.path.end());
+    result->strand.insert(result->strand.end(), p.strand.begin(),
+                          p.strand.end());
+    result->d0.insert(result->d0.end(), p.d0.begin(), p.d0.end());
+    result->support.insert(result->support.end(), p.support.begin(),
+                           p.support.end());
+    result->chain.insert(result->chain.end(), p.chain.begin(),
+                         p.chain.end());
+    result->q_lo.insert(result->q_lo.end(), p.q_lo.begin(), p.q_lo.end());
+    result->q_hi.insert(result->q_hi.end(), p.q_hi.begin(), p.q_hi.end());
+    result->a_lo.insert(result->a_lo.end(), p.a_lo.begin(), p.a_lo.end());
+    result->a_hi.insert(result->a_hi.end(), p.a_hi.begin(), p.a_hi.end());
+  }
+  return result;
+}
+
+// Lookup + chaining from a PREcomputed minimizer list (the on-device scan
+// path, align/dev_scan.py): same chaining semantics and output as
+// svt_chain3, minus the host scan. Minimizers must be read-major and
+// position-sorted within each read (the scan emission order). Threaded
+// over read-aligned ranges of the minimizer array.
+void* svt_chain4(const int64_t* offsets, int64_t n_reads, int64_t n_mins,
+                 const int32_t* m_read, const int32_t* m_pos,
+                 const uint32_t* m_hash, const int8_t* m_strand, int32_t k,
+                 const uint32_t* uniq_hash, int64_t n_uniq,
+                 const int64_t* hit_start, const int32_t* hit_path,
+                 const int32_t* hit_pos, const int8_t* hit_strand,
+                 int32_t min_anchors, int32_t max_chains, int32_t max_gap,
+                 int32_t drift_abs, int32_t drift_permille,
+                 int32_t block_rows, int32_t ext_min_anchors,
+                 int32_t panel_path_limit, int32_t n_threads,
+                 void* lookup) {
+  auto* result = new SeedResult();
+  if (k <= 0 || k > 15 || n_reads <= 0 || block_rows <= 0 || n_mins <= 0)
+    return result;
+  SeedIndex idx{uniq_hash,  n_uniq,     hit_start,
+                hit_path,   hit_pos,    hit_strand,
+                static_cast<const HashLookup*>(lookup)};
+  ChainParams cp{min_anchors, max_chains,  max_gap,       drift_abs,
+                 drift_permille, block_rows, ext_min_anchors};
+  int T = n_threads > 0 ? n_threads
+                        : (int)std::thread::hardware_concurrency();
+  if (T < 1) T = 1;
+  if ((int64_t)T > n_mins) T = (int)n_mins;
+  if (T == 1) {
+    chain_mins_range(offsets, m_read, m_pos, m_hash, m_strand, 0, n_mins, k,
+                     idx, cp, result, panel_path_limit);
+    return result;
+  }
+  // Range bounds: equal minimizer shares, snapped forward to the next
+  // read boundary so no read straddles two threads.
+  std::vector<int64_t> bounds(T + 1, n_mins);
+  bounds[0] = 0;
+  for (int t = 1; t < T; ++t) {
+    int64_t i = std::max(bounds[t - 1], n_mins * t / T);
+    while (i < n_mins && i > 0 && m_read[i] == m_read[i - 1]) ++i;
+    bounds[t] = i;
+  }
+  std::vector<SeedResult> parts(T);
+  std::vector<std::thread> threads;
+  threads.reserve(T);
+  for (int t = 0; t < T; ++t) {
+    threads.emplace_back([&, t]() {
+      chain_mins_range(offsets, m_read, m_pos, m_hash, m_strand, bounds[t],
+                       bounds[t + 1], k, idx, cp, &parts[t],
+                       panel_path_limit);
+    });
+  }
+  for (auto& th : threads) th.join();
+  size_t n = 0;
+  for (const auto& p : parts) n += p.read.size();
+  result->read.reserve(n);
+  result->path.reserve(n);
+  result->strand.reserve(n);
+  result->d0.reserve(n);
+  result->support.reserve(n);
+  result->chain.reserve(n);
+  result->q_lo.reserve(n);
+  result->q_hi.reserve(n);
+  result->a_lo.reserve(n);
+  result->a_hi.reserve(n);
+  for (const auto& p : parts) {
+    result->read.insert(result->read.end(), p.read.begin(), p.read.end());
+    result->path.insert(result->path.end(), p.path.begin(), p.path.end());
+    result->strand.insert(result->strand.end(), p.strand.begin(),
+                          p.strand.end());
+    result->d0.insert(result->d0.end(), p.d0.begin(), p.d0.end());
+    result->support.insert(result->support.end(), p.support.begin(),
+                           p.support.end());
+    result->chain.insert(result->chain.end(), p.chain.begin(),
+                         p.chain.end());
+    result->q_lo.insert(result->q_lo.end(), p.q_lo.begin(), p.q_lo.end());
+    result->q_hi.insert(result->q_hi.end(), p.q_hi.begin(), p.q_hi.end());
+    result->a_lo.insert(result->a_lo.end(), p.a_lo.begin(), p.a_lo.end());
+    result->a_hi.insert(result->a_hi.end(), p.a_hi.begin(), p.a_hi.end());
+  }
+  return result;
+}
+
+// Chaining from the on-device scan's emission bitmask (align/dev_scan.py):
+// the TPU decides WHICH k-mer starts are minimizers; this recomputes their
+// hashes, applies the panel bitmap + exact lookup, and chains — sharing
+// chain_one_read with svt_chain3/svt_chain4. Threaded over read ranges
+// balanced by base volume (same partitioning as svt_chain3).
+void* svt_chain5(const int8_t* codes, int64_t n_bases,
+                 const int64_t* offsets, int64_t n_reads, int32_t k,
+                 int32_t w, const uint8_t* emit_bits,
+                 const uint8_t* bitmap, int32_t bitmap_log2,
+                 const uint32_t* uniq_hash, int64_t n_uniq,
+                 const int64_t* hit_start, const int32_t* hit_path,
+                 const int32_t* hit_pos, const int8_t* hit_strand,
+                 int32_t min_anchors, int32_t max_chains, int32_t max_gap,
+                 int32_t drift_abs, int32_t drift_permille,
+                 int32_t block_rows, int32_t ext_min_anchors,
+                 int32_t panel_path_limit, int32_t n_threads,
+                 void* lookup) {
+  (void)n_bases;
+  auto* result = new SeedResult();
+  if (k <= 0 || k > 15 || w <= 0 || n_reads <= 0 || block_rows <= 0 ||
+      emit_bits == nullptr)
+    return result;
+  const uint32_t bitmap_mask =
+      bitmap ? ((bitmap_log2 >= 32) ? 0xFFFFFFFFu
+                                    : ((1u << bitmap_log2) - 1))
+             : 0;
+  SeedIndex idx{uniq_hash,  n_uniq,     hit_start,
+                hit_path,   hit_pos,    hit_strand,
+                static_cast<const HashLookup*>(lookup)};
+  ChainParams cp{min_anchors, max_chains,  max_gap,       drift_abs,
+                 drift_permille, block_rows, ext_min_anchors};
+  int T = n_threads > 0 ? n_threads
+                        : (int)std::thread::hardware_concurrency();
+  if (T < 1) T = 1;
+  if ((int64_t)T > n_reads) T = (int)n_reads;
+  if (T == 1) {
+    chain_bits_range(codes, offsets, 0, n_reads, k, w, emit_bits, bitmap,
+                     bitmap_mask, idx, cp, result, panel_path_limit);
+    return result;
+  }
+  const int64_t total = offsets[n_reads] - offsets[0];
+  std::vector<int64_t> bounds(T + 1, n_reads);
+  bounds[0] = 0;
+  int64_t r = 0;
+  for (int t = 1; t < T; ++t) {
+    const int64_t target = offsets[0] + total * t / T;
+    while (r < n_reads && offsets[r] < target) ++r;
+    bounds[t] = r;
+  }
+  std::vector<SeedResult> parts(T);
+  std::vector<std::thread> threads;
+  threads.reserve(T);
+  for (int t = 0; t < T; ++t) {
+    threads.emplace_back([&, t]() {
+      chain_bits_range(codes, offsets, bounds[t], bounds[t + 1], k, w,
+                       emit_bits, bitmap, bitmap_mask, idx, cp, &parts[t],
+                       panel_path_limit);
     });
   }
   for (auto& th : threads) th.join();

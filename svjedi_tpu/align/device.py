@@ -48,6 +48,12 @@ class DeviceData:
     #: a ~100 MB chunk inside every per-batch prep jit re-did O(total bases)
     #: work per dispatch (fwd and rev) instead of per chunk.
     packed: tuple = None  # (rw, rn, pw, pn)
+    #: Read-boundary offsets on device ((R+1,) int32) + true code count —
+    #: set when upload() was given ``offsets`` (folded into the codes
+    #: transfer: the tunnel charges per transfer, not per byte). Consumed
+    #: by the on-device minimizer scan (align/dev_scan.py).
+    offsets32: jnp.ndarray = None
+    n_codes: int = 0
 
     def packed_words(self) -> tuple:
         """The (rw, rn, pw, pn) word buffers; raises if not built by upload()."""
@@ -95,6 +101,30 @@ def _expand_reads_raw(codes: jnp.ndarray, n_cap: int, pad: int):
     return jnp.concatenate([codes, rc, sentinel])
 
 
+@functools.partial(jax.jit, static_argnames=("n_codes", "n_cap", "pad"))
+def _expand_reads_payload(payload: jnp.ndarray, n_codes: int, n_cap: int,
+                          pad: int):
+    """fwd ++ revcomp ++ sentinel layout from a codes+offsets payload.
+
+    ``payload`` = raw int8 codes (n_codes) followed by the read-offset
+    table's little-endian int32 bytes; the offsets ride the same transfer
+    (see :func:`upload`) and are unpacked by :func:`_payload_offsets`.
+    """
+    codes = payload[:n_codes]
+    codes = jnp.concatenate([codes, jnp.zeros((n_cap - n_codes,), jnp.int8)])
+    flipped = jnp.flip(codes)
+    rc = jnp.where(flipped < 4, 3 - flipped, flipped).astype(jnp.int8)
+    sentinel = jnp.full((pad,), 4, jnp.int8)
+    return jnp.concatenate([codes, rc, sentinel])
+
+
+@functools.partial(jax.jit, static_argnames=("n_codes", "n_off"))
+def _payload_offsets(payload: jnp.ndarray, n_codes: int, n_off: int):
+    """Bitcast the payload's offset-table tail back to (n_off,) int32."""
+    raw = payload[n_codes : n_codes + 4 * n_off]
+    return jax.lax.bitcast_convert_type(raw.reshape(n_off, 4), jnp.int32)
+
+
 def _pack_2bit(codes: np.ndarray) -> np.ndarray:
     pad = (-len(codes)) % 4
     padded = np.concatenate([codes, np.zeros(pad, np.int8)]).astype(np.uint8)
@@ -123,6 +153,7 @@ def upload(
     panel_cache: dict = None,
     max_window: int = 30976,
     device=None,
+    offsets: np.ndarray = None,
 ) -> DeviceData:
     """Upload a read chunk + panel to the device (panel cached across chunks).
 
@@ -173,9 +204,23 @@ def upload(
     n_cap = 1 << max(12, (max(n, 1) - 1).bit_length())
     # Sentinel tail sized so the total is ALIGN-aligned (2*n_cap + pad_tot).
     pad_tot = pad + (-(2 * n_cap + pad)) % ALIGN
-    reads2 = _expand_reads_raw(
-        put(reads_codes), n_cap=n_cap, pad=pad_tot
-    )
+    offsets32 = None
+    if offsets is not None:
+        # Fold the read-boundary table into the codes transfer (one h2d
+        # instead of two; the tunnel charges ~40 ms per transfer): payload
+        # = codes ++ int32-LE offset bytes, split back apart on device.
+        off32 = np.ascontiguousarray(offsets, dtype="<i4")
+        payload = put(
+            np.concatenate([reads_codes, off32.view(np.int8)])
+        )
+        reads2 = _expand_reads_payload(
+            payload, n_codes=n, n_cap=n_cap, pad=pad_tot
+        )
+        offsets32 = _payload_offsets(payload, n_codes=n, n_off=len(off32))
+    else:
+        reads2 = _expand_reads_raw(
+            put(reads_codes), n_cap=n_cap, pad=pad_tot
+        )
     rw, rn = _pack_words_jit(reads2)
     return DeviceData(
         reads2=reads2,
@@ -185,6 +230,8 @@ def upload(
         n_bases=n_cap,
         pad=pad,
         packed=(rw, rn, pw, pn),
+        offsets32=offsets32,
+        n_codes=n,
     )
 
 

@@ -10,6 +10,7 @@ expressed in path coordinates.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -1187,6 +1188,7 @@ def align_and_count(
     batch_size: int = 32768,
     decoy=None,
     devices: Optional[Sequence] = None,
+    flush_every: Optional[int] = None,
 ):
     """Full aligner stage: reads + panel → (counts, audit, winners).
 
@@ -1235,8 +1237,13 @@ def align_and_count(
     # for every pending batch, then the (host, numpy) winner reduction and
     # counting per chunk. The tunnel's ~40 ms/transfer fixed cost makes the
     # transfer count, not the byte count, the thing to minimize. flush_every
-    # bounds device memory held by in-flight chunks.
-    flush_every = 32
+    # bounds device memory held by in-flight chunks — AND sets how much
+    # flush work (fetch + winner reduce + reverse round) runs while the
+    # seeder thread still has later chunks in flight: a small value trades
+    # extra transfer rounds for overlap of the flush with host seeding,
+    # which wins whenever seeding is the critical path (PERF.md).
+    if flush_every is None:
+        flush_every = 32
     pending: List[Tuple[int, ReadSet, ChunkDispatch]] = []
 
     def accumulate(start, chunk, disp, winners):
@@ -1356,18 +1363,79 @@ def align_and_count(
         ext_min_anchors=align_cfg.chain_ext_min_anchors,
     )
 
-    def seed_chunk(chunk: ReadSet):
+    # On-device minimizer scan (align/dev_scan.py): the scan — formerly
+    # ~50% of each pass's host CPU — runs as one XLA program over the
+    # uploaded read buffer; the seeder thread keeps only the fetch +
+    # native lookup/chaining (svt_chain4). Host-scan fallbacks: config
+    # off, native chainer absent, or per-chunk scan-capacity overflow.
+    from ..utils.native import load_native as _load_native
+
+    native_lib = _load_native()
+    use_dev_scan = (
+        align_cfg.device_seed
+        and os.environ.get("SVJT_DEVICE_SEED", "1") != "0"
+        and native_lib is not None
+        and hasattr(native_lib._lib, "svt_chain4")
+    )
+    seed_bitmap = seed_index.hash_bitmap()
+    bitmap_dev: Dict[int, object] = {}
+    scan_outs: Dict[int, object] = {}
+    device_datas: Dict[int, object] = {}
+
+    def prep_chunk(ci: int):
+        """Upload chunk ci (+boundary table) and enqueue its device scan.
+
+        Runs on the main thread (all device interaction stays here); the
+        scan result's d2h copy is pre-started so the seeder thread's fetch
+        finds it resident.
+        """
+        from . import dev_scan
+
+        chunk = chunks[ci]
+        di = ci % len(devices) if devices else 0
+        device = devices[di] if devices else None
+        dd = dev.upload(
+            chunk.codes, panel, panel_caches[di], device=device,
+            offsets=chunk.offsets,
+        )
+        device_datas[ci] = dd
+        if use_dev_scan:
+            if di not in bitmap_dev:
+                import jax
+                import jax.numpy as jnp
+
+                bitmap_dev[di] = (
+                    jax.device_put(seed_bitmap, device)
+                    if device is not None
+                    else jnp.asarray(seed_bitmap)
+                )
+            scan_outs[ci] = dev_scan.dispatch_scan(
+                dd, bitmap_dev[di], seed_index.k, seed_index.w,
+                seed_index.BITMAP_LOG2,
+            )
+
+    def seed_chunk(chunk: ReadSet, scan_out=None):
         """Seed + decoy-suppress one chunk (runs on the seeder thread).
 
-        Pure host work (native scans release the GIL; numpy in between), no
-        JAX — all device interaction stays on the caller's thread. Returns
+        Host lookup/chain work plus (device-seed mode) one result fetch;
+        dispatches stay on the caller's thread. Returns
         (candidates, cpu_seconds).
         """
+        from . import dev_scan
+
         ts0 = time.perf_counter()
+        mins = None
+        if scan_out is not None:
+            mins = dev_scan.fetch_minimizers(
+                scan_out, chunk.codes, chunk.offsets, seed_index.k,
+                seed_index.w, seed_bitmap, seed_index.BITMAP_LOG2,
+                native=native_lib,
+            )  # None on capacity overflow -> full host scan below
         cands = seed_candidates(
             chunk, seed_index, chain_params=chain_params,
             threads=align_cfg.threads,
             panel_path_limit=n_panel_paths if decoy is not None else 0,
+            mins=mins,
         )
         if decoy is not None and len(cands):
             from .decoy import suppress_candidates
@@ -1396,20 +1464,25 @@ def align_and_count(
     chunks = [reads.slice(s, min(s + chunk_reads, reads.n_reads))
               for s in starts]
     with ThreadPoolExecutor(max_workers=1) as seeder:
-        seed_future = seeder.submit(seed_chunk, chunks[0]) if chunks else None
+        seed_future = None
+        if chunks:
+            prep_chunk(0)
+            seed_future = seeder.submit(
+                seed_chunk, chunks[0], scan_outs.pop(0, None)
+            )
         for ci, (start, chunk) in enumerate(zip(starts, chunks)):
+            # Enqueue the NEXT chunk's upload + device scan before blocking
+            # on this chunk's seed: the scan executes during the wait.
+            if ci + 1 < len(chunks):
+                prep_chunk(ci + 1)
             t0 = time.perf_counter()
             cands, seed_cpu = seed_future.result()
             t1 = time.perf_counter()
             if ci + 1 < len(chunks):
-                seed_future = seeder.submit(seed_chunk, chunks[ci + 1])
-            if devices:
-                di = ci % len(devices)
-                device_data = dev.upload(
-                    chunk.codes, panel, panel_caches[di], device=devices[di]
+                seed_future = seeder.submit(
+                    seed_chunk, chunks[ci + 1], scan_outs.pop(ci + 1, None)
                 )
-            else:
-                device_data = dev.upload(chunk.codes, panel, panel_caches[0])
+            device_data = device_datas.pop(ci)
             disp = dispatch_chunk(
                 chunk, panel, index, cands, align_cfg, device_data,
                 batch_size=batch_size,

@@ -200,6 +200,7 @@ def seed_candidates(
     chain_params: ChainParams = ChainParams(),
     threads: int = 0,
     panel_path_limit: int = 0,
+    mins=None,
 ) -> Candidates:
     """Compute chain-block alignment candidates for every read.
 
@@ -209,11 +210,35 @@ def seed_candidates(
     anchor on a path id below the limit are skipped before chaining — they
     can never contribute a count, and decoy chains are consulted only for
     reads with panel chains.
+    ``mins`` = precomputed (read_id, pos, hash, strand) minimizer arrays
+    (read-major, position-sorted) — the on-device scan path
+    (align/dev_scan.py); skips the host scan and goes straight to lookup +
+    chaining (native ``svt_chain4``, or the numpy path below).
     """
     cp = chain_params
     rlen = reads.lengths
     native = load_native()
-    if native is not None and hasattr(native._lib, "svt_chain"):
+    if mins is not None:
+        if native is not None and hasattr(native._lib, "svt_chain4"):
+            res = native.chain_from_minimizers(
+                reads.offsets, mins[0], mins[1], mins[2], mins[3],
+                index.k, uniq_hash=index.uniq_hash,
+                hit_start=index.hit_start, hit_path=index.hit_path,
+                hit_pos=index.hit_pos, hit_strand=index.hit_strand,
+                params=cp, n_threads=threads,
+                panel_path_limit=panel_path_limit,
+                lookup=index.native_lookup(),
+            )
+            if res is not None:
+                (read, path, strand, d0, support, chain_local, q_lo, q_hi,
+                 a_lo, a_hi) = res
+                return Candidates(
+                    read=read, path=path, strand=strand, d0=d0,
+                    n_anchors=support,
+                    chain=_globalize_chains(read, chain_local),
+                    q_lo=q_lo, q_hi=q_hi, a_lo=a_lo, a_hi=a_hi,
+                )
+    elif native is not None and hasattr(native._lib, "svt_chain"):
         res = native.chain(
             reads.codes, reads.offsets, index.k, index.w,
             bitmap=index.hash_bitmap(), bitmap_log2=index.BITMAP_LOG2,
@@ -233,7 +258,7 @@ def seed_candidates(
                 chain=_globalize_chains(read, chain_local),
                 q_lo=q_lo, q_hi=q_hi, a_lo=a_lo, a_hi=a_hi,
             )
-    native_result = (
+    native_result = mins if mins is not None else (
         native.minimizers(
             reads.codes, reads.offsets, index.k, index.w,
             bitmap=index.hash_bitmap(), bitmap_log2=index.BITMAP_LOG2,

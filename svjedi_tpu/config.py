@@ -52,6 +52,12 @@ class AlignConfig:
     #: (minigraph's whole-graph primary selection; align/decoy.py).
     decoy: bool = True
 
+    #: Run the minimizer scan on the device (align/dev_scan.py), leaving
+    #: only lookup + chaining on the host. Falls back to the native host
+    #: scan when the native chainer is unavailable or the scan output
+    #: overflows its capacity class.
+    device_seed: bool = True
+
     # Banded affine-gap DP (scores in the minimap2 convention).
     match: int = 2
     mismatch: int = -4

@@ -55,6 +55,25 @@ class _NativeIO:
                     lib.svt_chain3.argtypes = (
                         lib.svt_chain2.argtypes + [ctypes.c_void_p]
                     )
+                if hasattr(lib, "svt_chain4"):
+                    lib.svt_chain4.restype = ctypes.c_void_p
+                    lib.svt_chain4.argtypes = [
+                        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                        ctypes.c_int64,
+                        ctypes.POINTER(ctypes.c_int32),
+                        ctypes.POINTER(ctypes.c_int32),
+                        ctypes.POINTER(ctypes.c_uint32),
+                        ctypes.POINTER(ctypes.c_int8), ctypes.c_int32,
+                        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+                        ctypes.POINTER(ctypes.c_int64),
+                        ctypes.POINTER(ctypes.c_int32),
+                        ctypes.POINTER(ctypes.c_int32),
+                        ctypes.POINTER(ctypes.c_int8),
+                        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                        ctypes.c_void_p,
+                    ]
                     lib.svt_lookup_build.restype = ctypes.c_void_p
                     lib.svt_lookup_build.argtypes = [
                         ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
@@ -299,6 +318,105 @@ class _NativeIO:
             )
         else:
             handle = lib.svt_chain(*common, ctypes.c_int32(n_threads))
+        if not handle:
+            return None
+        try:
+            n = lib.svt_seed_count(handle)
+            read = np.empty(n, dtype=np.int32)
+            path = np.empty(n, dtype=np.int32)
+            strand = np.empty(n, dtype=np.int8)
+            d0 = np.empty(n, dtype=np.int32)
+            support = np.empty(n, dtype=np.int32)
+            chain_local = np.empty(n, dtype=np.int32)
+            q_lo = np.empty(n, dtype=np.int32)
+            q_hi = np.empty(n, dtype=np.int32)
+            a_lo = np.empty(n, dtype=np.int32)
+            a_hi = np.empty(n, dtype=np.int32)
+            if n:
+                lib.svt_chain_copy(
+                    handle,
+                    read.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    strand.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                    d0.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    support.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    chain_local.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_int32)
+                    ),
+                    q_lo.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    q_hi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    a_lo.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    a_hi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                )
+            return (read, path, strand, d0, support, chain_local, q_lo,
+                    q_hi, a_lo, a_hi)
+        finally:
+            lib.svt_seed_free(handle)
+
+    def chain_from_minimizers(
+        self,
+        offsets: np.ndarray,
+        m_read: np.ndarray,
+        m_pos: np.ndarray,
+        m_hash: np.ndarray,
+        m_strand: np.ndarray,
+        k: int,
+        uniq_hash: np.ndarray,
+        hit_start: np.ndarray,
+        hit_path: np.ndarray,
+        hit_pos: np.ndarray,
+        hit_strand: np.ndarray,
+        params,
+        n_threads: int = 0,
+        panel_path_limit: int = 0,
+        lookup: int = 0,
+    ):
+        """Lookup + chaining from a precomputed minimizer list (svt_chain4).
+
+        The minimizer arrays are read-major and position-sorted within each
+        read — the emission order of both the native scan and the on-device
+        scan (align/dev_scan.py). Same output tuple as :meth:`chain`, or
+        None when the library predates svt_chain4.
+        """
+        lib = self._lib
+        if not hasattr(lib, "svt_chain4"):
+            return None
+        offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+        m_read = np.ascontiguousarray(m_read, dtype=np.int32)
+        m_pos = np.ascontiguousarray(m_pos, dtype=np.int32)
+        m_hash = np.ascontiguousarray(m_hash, dtype=np.uint32)
+        m_strand = np.ascontiguousarray(m_strand, dtype=np.int8)
+        uniq_hash = np.ascontiguousarray(uniq_hash, dtype=np.uint32)
+        hit_start = np.ascontiguousarray(hit_start, dtype=np.int64)
+        hit_path = np.ascontiguousarray(hit_path, dtype=np.int32)
+        hit_pos = np.ascontiguousarray(hit_pos, dtype=np.int32)
+        hit_strand = np.ascontiguousarray(hit_strand, dtype=np.int8)
+        handle = lib.svt_chain4(
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(len(offsets) - 1),
+            ctypes.c_int64(len(m_read)),
+            m_read.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            m_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            m_hash.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            m_strand.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            ctypes.c_int32(k),
+            uniq_hash.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.c_int64(len(uniq_hash)),
+            hit_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            hit_path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            hit_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            hit_strand.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            ctypes.c_int32(params.min_anchors),
+            ctypes.c_int32(params.max_chains),
+            ctypes.c_int32(params.max_gap),
+            ctypes.c_int32(params.drift_abs),
+            ctypes.c_int32(params.drift_permille),
+            ctypes.c_int32(params.block_rows),
+            ctypes.c_int32(params.ext_min_anchors),
+            ctypes.c_int32(panel_path_limit),
+            ctypes.c_int32(n_threads),
+            ctypes.c_void_p(lookup),
+        )
         if not handle:
             return None
         try:
