@@ -163,8 +163,8 @@ def dispatch_scan(device_data, k: int, w: int) -> jnp.ndarray:
     )
     try:
         out.copy_to_host_async()
-    except Exception:
-        pass  # fetch falls back to a synchronous transfer
+    except (AttributeError, NotImplementedError):
+        pass  # backend lacks async d2h: fetch does a synchronous transfer
     return out
 
 

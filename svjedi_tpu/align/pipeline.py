@@ -45,6 +45,10 @@ class Winners:
     matches: Optional[np.ndarray] = None
     blocklen: Optional[np.ndarray] = None
     mapq: Optional[np.ndarray] = None
+    #: Audit-pass invariant: how far the summed piece re-scores fall below
+    #: the winning chain score (0 for healthy winners; see the warning in
+    #: :func:`compute_winner_stats`).
+    rescore_deficit: Optional[np.ndarray] = None
     #: Chain-anchor alignment span in path coordinates (outermost anchor
     #: extents; the analog of what a chain-level mapper like minigraph
     #: reports as Ts/Te). Set by finalize_chunk; chunk-local diagnostics.
@@ -1123,6 +1127,7 @@ def compute_winner_stats(
     # (piece cuts lose alignment continuity; the doubled band recovers
     # clipped segments); warn only when the sum falls far below.
     slack = 64 * np.maximum(1, (qspan + PIECE - 1) // PIECE)
+    winners.rescore_deficit = np.maximum(0, winners.score - score_sum)
     mismatched = int((score_sum + slack < winners.score).sum())
     if mismatched:  # pragma: no cover - invariant check
         import sys
@@ -1365,9 +1370,10 @@ def align_and_count(
 
     # On-device minimizer scan (align/dev_scan.py): the scan — formerly
     # ~50% of each pass's host CPU — runs as one XLA program over the
-    # uploaded read buffer; the seeder thread keeps only the fetch +
-    # native lookup/chaining (svt_chain4). Host-scan fallbacks: config
-    # off, native chainer absent, or per-chunk scan-capacity overflow.
+    # uploaded read buffer and leaves the device as a packed emission
+    # bitmask; the seeder thread keeps only the fetch + native
+    # lookup/chaining (svt_chain5). Host-scan fallbacks: config off or
+    # native chainer absent/stale.
     from ..utils.native import load_native as _load_native
 
     native_lib = _load_native()
@@ -1375,10 +1381,8 @@ def align_and_count(
         align_cfg.device_seed
         and os.environ.get("SVJT_DEVICE_SEED", "1") != "0"
         and native_lib is not None
-        and hasattr(native_lib._lib, "svt_chain4")
+        and hasattr(native_lib._lib, "svt_chain5")
     )
-    seed_bitmap = seed_index.hash_bitmap()
-    bitmap_dev: Dict[int, object] = {}
     scan_outs: Dict[int, object] = {}
     device_datas: Dict[int, object] = {}
 
@@ -1400,18 +1404,8 @@ def align_and_count(
         )
         device_datas[ci] = dd
         if use_dev_scan:
-            if di not in bitmap_dev:
-                import jax
-                import jax.numpy as jnp
-
-                bitmap_dev[di] = (
-                    jax.device_put(seed_bitmap, device)
-                    if device is not None
-                    else jnp.asarray(seed_bitmap)
-                )
             scan_outs[ci] = dev_scan.dispatch_scan(
-                dd, bitmap_dev[di], seed_index.k, seed_index.w,
-                seed_index.BITMAP_LOG2,
+                dd, seed_index.k, seed_index.w
             )
 
     def seed_chunk(chunk: ReadSet, scan_out=None):
@@ -1424,18 +1418,16 @@ def align_and_count(
         from . import dev_scan
 
         ts0 = time.perf_counter()
-        mins = None
-        if scan_out is not None:
-            mins = dev_scan.fetch_minimizers(
-                scan_out, chunk.codes, chunk.offsets, seed_index.k,
-                seed_index.w, seed_bitmap, seed_index.BITMAP_LOG2,
-                native=native_lib,
-            )  # None on capacity overflow -> full host scan below
+        bits = (
+            dev_scan.fetch_bitmask(scan_out)
+            if scan_out is not None
+            else None
+        )
         cands = seed_candidates(
             chunk, seed_index, chain_params=chain_params,
             threads=align_cfg.threads,
             panel_path_limit=n_panel_paths if decoy is not None else 0,
-            mins=mins,
+            bits=bits,
         )
         if decoy is not None and len(cands):
             from .decoy import suppress_candidates

@@ -201,6 +201,7 @@ def seed_candidates(
     threads: int = 0,
     panel_path_limit: int = 0,
     mins=None,
+    bits=None,
 ) -> Candidates:
     """Compute chain-block alignment candidates for every read.
 
@@ -214,10 +215,33 @@ def seed_candidates(
     (read-major, position-sorted) — the on-device scan path
     (align/dev_scan.py); skips the host scan and goes straight to lookup +
     chaining (native ``svt_chain4``, or the numpy path below).
+    ``bits`` = the on-device scan's packed emission bitmask
+    (align/dev_scan.py) — lookup + chaining via native ``svt_chain5``;
+    falls back to the full host scan when the library predates it.
     """
     cp = chain_params
     rlen = reads.lengths
     native = load_native()
+    if bits is not None and native is not None:
+        res = native.chain_from_bitmask(
+            reads.codes, reads.offsets, bits, index.k, index.w,
+            bitmap=index.hash_bitmap(), bitmap_log2=index.BITMAP_LOG2,
+            uniq_hash=index.uniq_hash, hit_start=index.hit_start,
+            hit_path=index.hit_path, hit_pos=index.hit_pos,
+            hit_strand=index.hit_strand,
+            params=cp, n_threads=threads,
+            panel_path_limit=panel_path_limit,
+            lookup=index.native_lookup(),
+        )
+        if res is not None:
+            (read, path, strand, d0, support, chain_local, q_lo, q_hi,
+             a_lo, a_hi) = res
+            return Candidates(
+                read=read, path=path, strand=strand, d0=d0,
+                n_anchors=support,
+                chain=_globalize_chains(read, chain_local),
+                q_lo=q_lo, q_hi=q_hi, a_lo=a_lo, a_hi=a_hi,
+            )
     if mins is not None:
         if native is not None and hasattr(native._lib, "svt_chain4"):
             res = native.chain_from_minimizers(

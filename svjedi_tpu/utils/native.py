@@ -74,6 +74,25 @@ class _NativeIO:
                         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                         ctypes.c_void_p,
                     ]
+                if hasattr(lib, "svt_chain5"):
+                    lib.svt_chain5.restype = ctypes.c_void_p
+                    lib.svt_chain5.argtypes = [
+                        ctypes.POINTER(ctypes.c_int8), ctypes.c_int64,
+                        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                        ctypes.c_int32, ctypes.c_int32,
+                        ctypes.POINTER(ctypes.c_uint8),
+                        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+                        ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+                        ctypes.POINTER(ctypes.c_int64),
+                        ctypes.POINTER(ctypes.c_int32),
+                        ctypes.POINTER(ctypes.c_int32),
+                        ctypes.POINTER(ctypes.c_int8),
+                        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+                        ctypes.c_void_p,
+                    ]
+                if hasattr(lib, "svt_lookup_build"):
                     lib.svt_lookup_build.restype = ctypes.c_void_p
                     lib.svt_lookup_build.argtypes = [
                         ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
@@ -220,6 +239,45 @@ class _NativeIO:
         finally:
             lib.svt_minimizers_free(handle)
 
+    def _seed_result(self, handle):
+        """Copy a native SeedResult handle into numpy arrays and free it.
+
+        Shared tail of every svt_chain* entry point: (read, path, strand,
+        d0, support, chain_local, q_lo, q_hi, a_lo, a_hi).
+        """
+        lib = self._lib
+        try:
+            n = lib.svt_seed_count(handle)
+            read = np.empty(n, dtype=np.int32)
+            path = np.empty(n, dtype=np.int32)
+            strand = np.empty(n, dtype=np.int8)
+            d0 = np.empty(n, dtype=np.int32)
+            support = np.empty(n, dtype=np.int32)
+            chain_local = np.empty(n, dtype=np.int32)
+            q_lo = np.empty(n, dtype=np.int32)
+            q_hi = np.empty(n, dtype=np.int32)
+            a_lo = np.empty(n, dtype=np.int32)
+            a_hi = np.empty(n, dtype=np.int32)
+            if n:
+                i32 = ctypes.POINTER(ctypes.c_int32)
+                lib.svt_chain_copy(
+                    handle,
+                    read.ctypes.data_as(i32),
+                    path.ctypes.data_as(i32),
+                    strand.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                    d0.ctypes.data_as(i32),
+                    support.ctypes.data_as(i32),
+                    chain_local.ctypes.data_as(i32),
+                    q_lo.ctypes.data_as(i32),
+                    q_hi.ctypes.data_as(i32),
+                    a_lo.ctypes.data_as(i32),
+                    a_hi.ctypes.data_as(i32),
+                )
+            return (read, path, strand, d0, support, chain_local, q_lo,
+                    q_hi, a_lo, a_hi)
+        finally:
+            lib.svt_seed_free(handle)
+
     def lookup_build(self, uniq_hash: np.ndarray) -> int:
         """Prebuild the exact-hash lookup table for :meth:`chain`.
 
@@ -320,38 +378,7 @@ class _NativeIO:
             handle = lib.svt_chain(*common, ctypes.c_int32(n_threads))
         if not handle:
             return None
-        try:
-            n = lib.svt_seed_count(handle)
-            read = np.empty(n, dtype=np.int32)
-            path = np.empty(n, dtype=np.int32)
-            strand = np.empty(n, dtype=np.int8)
-            d0 = np.empty(n, dtype=np.int32)
-            support = np.empty(n, dtype=np.int32)
-            chain_local = np.empty(n, dtype=np.int32)
-            q_lo = np.empty(n, dtype=np.int32)
-            q_hi = np.empty(n, dtype=np.int32)
-            a_lo = np.empty(n, dtype=np.int32)
-            a_hi = np.empty(n, dtype=np.int32)
-            if n:
-                lib.svt_chain_copy(
-                    handle,
-                    read.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                    path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                    strand.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
-                    d0.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                    support.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                    chain_local.ctypes.data_as(
-                        ctypes.POINTER(ctypes.c_int32)
-                    ),
-                    q_lo.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                    q_hi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                    a_lo.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                    a_hi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                )
-            return (read, path, strand, d0, support, chain_local, q_lo,
-                    q_hi, a_lo, a_hi)
-        finally:
-            lib.svt_seed_free(handle)
+        return self._seed_result(handle)
 
     def chain_from_minimizers(
         self,
@@ -419,38 +446,80 @@ class _NativeIO:
         )
         if not handle:
             return None
-        try:
-            n = lib.svt_seed_count(handle)
-            read = np.empty(n, dtype=np.int32)
-            path = np.empty(n, dtype=np.int32)
-            strand = np.empty(n, dtype=np.int8)
-            d0 = np.empty(n, dtype=np.int32)
-            support = np.empty(n, dtype=np.int32)
-            chain_local = np.empty(n, dtype=np.int32)
-            q_lo = np.empty(n, dtype=np.int32)
-            q_hi = np.empty(n, dtype=np.int32)
-            a_lo = np.empty(n, dtype=np.int32)
-            a_hi = np.empty(n, dtype=np.int32)
-            if n:
-                lib.svt_chain_copy(
-                    handle,
-                    read.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                    path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                    strand.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
-                    d0.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                    support.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                    chain_local.ctypes.data_as(
-                        ctypes.POINTER(ctypes.c_int32)
-                    ),
-                    q_lo.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                    q_hi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                    a_lo.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                    a_hi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                )
-            return (read, path, strand, d0, support, chain_local, q_lo,
-                    q_hi, a_lo, a_hi)
-        finally:
-            lib.svt_seed_free(handle)
+        return self._seed_result(handle)
+
+    def chain_from_bitmask(
+        self,
+        codes: np.ndarray,
+        offsets: np.ndarray,
+        emit_bits: np.ndarray,
+        k: int,
+        w: int,
+        bitmap: np.ndarray,
+        bitmap_log2: int,
+        uniq_hash: np.ndarray,
+        hit_start: np.ndarray,
+        hit_path: np.ndarray,
+        hit_pos: np.ndarray,
+        hit_strand: np.ndarray,
+        params,
+        n_threads: int = 0,
+        panel_path_limit: int = 0,
+        lookup: int = 0,
+    ):
+        """Lookup + chaining from the on-device scan's emission bitmask
+        (``svt_chain5``; design in align/dev_scan.py).
+
+        ``emit_bits`` is the (n_bases // 8,) uint8 LSB-first bitmask of
+        emitted k-mer start positions. The native side recomputes hash /
+        strand from ``codes``, applies the panel ``bitmap`` + exact
+        lookup, and chains; reads shorter than k+w-1 bases (whose bits
+        the device leaves clear by design) are scanned natively per read.
+        Same output tuple as :meth:`chain`, or None when the library
+        predates svt_chain5.
+        """
+        lib = self._lib
+        if not hasattr(lib, "svt_chain5"):
+            return None
+        codes = np.ascontiguousarray(codes, dtype=np.int8)
+        offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+        emit_bits = np.ascontiguousarray(emit_bits, dtype=np.uint8)
+        bitmap = np.ascontiguousarray(bitmap, dtype=np.uint8)
+        uniq_hash = np.ascontiguousarray(uniq_hash, dtype=np.uint32)
+        hit_start = np.ascontiguousarray(hit_start, dtype=np.int64)
+        hit_path = np.ascontiguousarray(hit_path, dtype=np.int32)
+        hit_pos = np.ascontiguousarray(hit_pos, dtype=np.int32)
+        hit_strand = np.ascontiguousarray(hit_strand, dtype=np.int8)
+        handle = lib.svt_chain5(
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            ctypes.c_int64(len(codes)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(len(offsets) - 1),
+            ctypes.c_int32(k),
+            ctypes.c_int32(w),
+            emit_bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            bitmap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int32(bitmap_log2),
+            uniq_hash.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.c_int64(len(uniq_hash)),
+            hit_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            hit_path.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            hit_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            hit_strand.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            ctypes.c_int32(params.min_anchors),
+            ctypes.c_int32(params.max_chains),
+            ctypes.c_int32(params.max_gap),
+            ctypes.c_int32(params.drift_abs),
+            ctypes.c_int32(params.drift_permille),
+            ctypes.c_int32(params.block_rows),
+            ctypes.c_int32(params.ext_min_anchors),
+            ctypes.c_int32(panel_path_limit),
+            ctypes.c_int32(n_threads),
+            ctypes.c_void_p(lookup),
+        )
+        if not handle:
+            return None
+        return self._seed_result(handle)
 
     def suppress(
         self,

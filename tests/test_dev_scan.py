@@ -1,10 +1,13 @@
 """On-device minimizer scan == native scan (align/dev_scan.py).
 
-The jitted XLA scan must reproduce the native per-read emission set —
-same positions, hashes, strands, in the same (read-major, position-
-sorted) order — including the bitmap prefilter, N invalidation,
-palindrome drops, and read-boundary isolation. Reads shorter than
-k+w-1 are merged from the host fallback inside fetch_minimizers.
+The jitted XLA scan emits a packed bitmask of minimizer k-mer start
+positions; it must reproduce the native per-read emission SET — same
+positions, in read-major position-sorted order — including N
+invalidation, palindrome drops, and read-boundary isolation. Reads
+shorter than k+w-1 bases keep all bits clear by design (native
+``svt_chain5`` scans them host-side), so their native emissions are
+excluded from the set comparison and checked separately through the
+full chain5 == host-chain candidate parity test.
 """
 
 import numpy as np
@@ -24,25 +27,32 @@ class _FakePanel:
     paths = []
 
 
-def _device_scan(reads, k, w, bitmap, bitmap_log2, native):
-    import jax.numpy as jnp
-
+def _concat(reads):
     codes = np.concatenate(reads) if reads else np.zeros(0, np.int8)
     offsets = np.concatenate(
         [[0], np.cumsum([len(r) for r in reads])]
     ).astype(np.int64)
+    return codes, offsets
+
+
+def _device_bitmask(codes, offsets, k, w) -> np.ndarray:
     dd = dev.upload(codes, _FakePanel(), {}, offsets=offsets)
-    bm = bitmap if bitmap is not None else np.full(
-        1 << (bitmap_log2 - 3), 0xFF, np.uint8
-    )
-    out = dev_scan.dispatch_scan(dd, jnp.asarray(bm), k, w, bitmap_log2)
-    return dev_scan.fetch_minimizers(
-        out, codes, offsets, k, w, bitmap, bitmap_log2, native=native
-    )
+    out = dev_scan.dispatch_scan(dd, k, w)
+    return dev_scan.fetch_bitmask(out)
+
+
+def _native_long_read_positions(native, codes, offsets, k, w):
+    """Native emission (read_id, pos) restricted to reads with >= w
+    k-mers — the set the device bitmask is defined over."""
+    m_read, m_pos, _, _ = native.minimizers(codes, offsets, k, w,
+                                            n_threads=2)
+    n_kmers = np.diff(offsets) - k + 1
+    keep = n_kmers[m_read] >= w
+    return m_read[keep], m_pos[keep]
 
 
 @pytest.mark.parametrize("k,w", [(15, 10), (11, 5)])
-def test_device_scan_matches_native(k, w):
+def test_device_bitmask_matches_native_emission(k, w):
     native = load_native()
     if native is None:
         pytest.skip("native library not built")
@@ -56,46 +66,26 @@ def test_device_scan_matches_native(k, w):
     nread[-3:] = 4
     reads.append(nread)
     reads.append(np.full(60, 4, dtype=np.int8))
-    reads.append(_encode("AT" * 200))
+    reads.append(_encode("AT" * 200))  # all-palindromic k-mers for odd k
     reads.append(_encode("ACGT" * 300))
 
-    codes = np.concatenate(reads)
-    offsets = np.concatenate(
-        [[0], np.cumsum([len(r) for r in reads])]
-    ).astype(np.int64)
-    exp = native.minimizers(codes, offsets, k, w, n_threads=2)
-    got = _device_scan(reads, k, w, None, 20, native)
-    assert got is not None
-    for name, g, e in zip(("read", "pos", "hash", "strand"), got, exp):
-        np.testing.assert_array_equal(g, e, err_msg=name)
-
-
-def test_device_scan_bitmap_filter_matches_native():
-    native = load_native()
-    if native is None:
-        pytest.skip("native library not built")
-    k, w, log2 = 15, 10, 20
-    rng = np.random.default_rng(3)
-    reads = [rng.integers(0, 4, 3000).astype(np.int8) for _ in range(8)]
-    codes = np.concatenate(reads)
-    offsets = np.concatenate(
-        [[0], np.cumsum([len(r) for r in reads])]
-    ).astype(np.int64)
-    # Bitmap keeping ~1/16 of hash space.
-    bitmap = np.zeros(1 << (log2 - 3), np.uint8)
-    bitmap[rng.integers(0, len(bitmap), len(bitmap) // 16)] = 0xFF
-    exp = native.minimizers(
-        codes, offsets, k, w, bitmap=bitmap, bitmap_log2=log2, n_threads=2
+    codes, offsets = _concat(reads)
+    bits = _device_bitmask(codes, offsets, k, w)
+    got_read, got_pos = dev_scan.bitmask_positions(bits, offsets)
+    exp_read, exp_pos = _native_long_read_positions(
+        native, codes, offsets, k, w
     )
-    got = _device_scan(reads, k, w, bitmap, log2, native)
-    assert got is not None
-    for name, g, e in zip(("read", "pos", "hash", "strand"), got, exp):
-        np.testing.assert_array_equal(g, e, err_msg=name)
+    np.testing.assert_array_equal(got_read, exp_read)
+    np.testing.assert_array_equal(got_pos, exp_pos)
+
+    # Short reads (< w k-mers) must have every bit clear.
+    n_kmers = np.diff(offsets) - k + 1
+    assert not np.isin(got_read, np.flatnonzero(n_kmers < w)).any()
 
 
-def test_device_scan_testdir_reads_full_parity(tmp_path):
-    """Production shapes: the reference test-dir read set, merged-index
-    bitmap, against the native scan the pipeline used before."""
+def test_device_bitmask_testdir_reads_full_parity():
+    """Production shapes: the reference test-dir read set against the
+    native scan the pipeline used before."""
     from pathlib import Path
 
     from svjedi_tpu.io.fastq import read_reads
@@ -107,21 +97,76 @@ def test_device_scan_testdir_reads_full_parity(tmp_path):
     if not fq.exists():
         pytest.skip("reference test-dir not available")
     reads = read_reads(str(fq))
-    k, w, log2 = 15, 10, 24
-    rng = np.random.default_rng(5)
-    bitmap = np.zeros(1 << (log2 - 3), np.uint8)
-    bitmap[rng.integers(0, len(bitmap), len(bitmap) // 8)] = rng.integers(
-        1, 256, len(bitmap) // 8
-    ).astype(np.uint8)
-    exp = native.minimizers(
-        reads.codes, reads.offsets, k, w, bitmap=bitmap, bitmap_log2=log2,
-        n_threads=2,
+    k, w = 15, 10
+    bits = _device_bitmask(reads.codes, reads.offsets, k, w)
+    got_read, got_pos = dev_scan.bitmask_positions(bits, reads.offsets)
+    exp_read, exp_pos = _native_long_read_positions(
+        native, reads.codes, reads.offsets, k, w
     )
-    per_read = [
-        reads.codes[reads.offsets[i]: reads.offsets[i + 1]]
-        for i in range(reads.n_reads)
-    ]
-    got = _device_scan(per_read, k, w, bitmap, log2, native)
-    assert got is not None
-    for name, g, e in zip(("read", "pos", "hash", "strand"), got, exp):
-        np.testing.assert_array_equal(g, e, err_msg=name)
+    np.testing.assert_array_equal(got_read, exp_read)
+    np.testing.assert_array_equal(got_pos, exp_pos)
+
+
+def test_chain_from_bitmask_matches_host_chain():
+    """End-to-end: seed_candidates(bits=device bitmask) == the full host
+    scan+chain path, on a merged panel+decoy index with the panel-path
+    limit — the exact production configuration of the device-seed path
+    (align/pipeline.py seed_chunk). Covers svt_chain5's host-side bitmap
+    filter, hash/strand recomputation, and short-read native fallback."""
+    import os
+    import tempfile
+
+    from svjedi_tpu.align.decoy import build_decoy
+    from svjedi_tpu.align.index import build_panel_index, merge_indexes
+    from svjedi_tpu.align.seed import ChainParams, seed_candidates
+    from svjedi_tpu.config import AlignConfig
+    from svjedi_tpu.graph.build import build_graph
+    from svjedi_tpu.graph.cluster import build_panel
+    from svjedi_tpu.graph.svparse import parse_vcf_svs
+    from svjedi_tpu.io import sim
+    from svjedi_tpu.io.fastq import ReadSet, encode_ascii
+
+    native = load_native()
+    if native is None or not hasattr(native._lib, "svt_chain5"):
+        pytest.skip("native svt_chain5 not built")
+    cfg = AlignConfig()
+    rng = np.random.default_rng(15)
+    s = sim.simulate(seed=16, chrom_lengths={"c1": 120_000}, n_svs=6)
+    names, seqs = sim.simulate_reads(
+        rng, s.haplotypes, coverage=5.0, mean_len=3000, sd_len=800
+    )
+    # A few sub-threshold reads to force the short-read native fallback.
+    seqs = list(seqs) + ["ACGTACGTACGTACGTACG", "A" * (cfg.kmer + 1)]
+    names = list(names) + ["short1", "short2"]
+    with tempfile.TemporaryDirectory() as tmp:
+        vcf = os.path.join(tmp, "t.vcf")
+        sim.write_truth_vcf(s, vcf)
+        parsed = parse_vcf_svs(
+            vcf, {c: len(x) for c, x in s.chroms.items()}
+        )
+    graph = build_graph(s.chroms, parsed)
+    panel = build_panel(graph, flank=cfg.flank, cluster_gap=cfg.cluster_gap)
+    index = build_panel_index(panel, k=cfg.kmer, w=cfg.window)
+    decoy = build_decoy(panel, k=cfg.kmer, w=cfg.window)
+    combo = merge_indexes(index, decoy.index)
+    codes = np.concatenate([encode_ascii(x) for x in seqs])
+    offsets = np.concatenate(
+        [[0], np.cumsum([len(x) for x in seqs])]
+    ).astype(np.int64)
+    reads = ReadSet(names=names, codes=codes, offsets=offsets)
+    n_panel = len(index.path_len)
+
+    bits = _device_bitmask(reads.codes, reads.offsets, cfg.kmer, cfg.window)
+    cp = ChainParams()
+    via_dev = seed_candidates(
+        reads, combo, chain_params=cp, panel_path_limit=n_panel, bits=bits
+    )
+    via_host = seed_candidates(
+        reads, combo, chain_params=cp, panel_path_limit=n_panel
+    )
+    assert len(via_host) > 0
+    for f in ("read", "path", "strand", "d0", "n_anchors", "chain",
+              "q_lo", "q_hi", "a_lo", "a_hi"):
+        np.testing.assert_array_equal(
+            getattr(via_dev, f), getattr(via_host, f), err_msg=f
+        )
