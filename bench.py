@@ -271,7 +271,10 @@ def main() -> int:
     # Chunked passes pipeline the host seed stage of chunk i+1 with the
     # device DP of chunk i (align_and_count's seeder thread); one monolithic
     # chunk would serialize them.
-    chunk_reads = int(os.environ.get("SVJT_BENCH_CHUNK_READS", "1024"))
+    # 2048 measured best on this chip (r4 sweep: 1024 -> 2573, 1730 ->
+    # 2803, 2048 -> 2948, 2595 -> 2654, 4096 -> compile-bound): 3 chunks
+    # balance scan/fetch fixed costs against seed/DP pipeline overlap.
+    chunk_reads = int(os.environ.get("SVJT_BENCH_CHUNK_READS", "2048"))
     # Small flush groups overlap the fetch/winner/reverse rounds with the
     # seeder thread's later chunks (see align_and_count); 2 measured best.
     flush_every = int(os.environ.get("SVJT_BENCH_FLUSH_EVERY", "2"))

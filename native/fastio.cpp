@@ -471,15 +471,19 @@ struct Anchor {
   int64_t diag;
 };
 
+// Anchor membership is a flat singly-linked list through the scratch's
+// ``nxt`` array (group-local anchor indices): zero per-chain heap
+// allocation, and iteration order = append order = ascending rpos.
 struct ChainHyp {
   int64_t last_rpos, last_diag;
-  std::vector<int32_t> idx;  // indices into the group's anchor range
+  int32_t head, tail, count;
 };
 
 // Reusable per-thread scratch for chain_one_read (avoids reallocation).
 struct ChainScratch {
   std::vector<Anchor> anchors;
   std::vector<ChainHyp> chains;
+  std::vector<int32_t> nxt;
   std::vector<size_t> kept;
   std::vector<int64_t> d0s;
   std::vector<int64_t> med;
@@ -496,6 +500,7 @@ void chain_one_read(int64_t r, int64_t rlen, const int32_t* mpos,
                     ChainScratch& cs) {
   std::vector<Anchor>& anchors = cs.anchors;
   std::vector<ChainHyp>& chains = cs.chains;
+  std::vector<int32_t>& nxt = cs.nxt;
   std::vector<size_t>& kept = cs.kept;
   std::vector<int64_t>& d0s = cs.d0s;
   std::vector<int64_t>& med = cs.med;
@@ -560,6 +565,7 @@ void chain_one_read(int64_t r, int64_t rlen, const int32_t* mpos,
 
       // ---- greedy chaining (== seed.py _chain_group) ----
       chains.clear();
+      nxt.assign(g_end - s, -1);
       for (size_t a = s; a < g_end; ++a) {
         const int64_t rp = anchors[a].rpos, dg = anchors[a].diag;
         int best_j = -1;
@@ -575,22 +581,25 @@ void chain_one_read(int64_t r, int64_t rlen, const int32_t* mpos,
             best_j = (int)j;
           }
         }
+        const int32_t al = (int32_t)(a - s);
         if (best_j >= 0) {
-          chains[best_j].last_rpos = rp;
-          chains[best_j].last_diag = dg;
-          chains[best_j].idx.push_back((int32_t)(a - s));
+          ChainHyp& c = chains[best_j];
+          c.last_rpos = rp;
+          c.last_diag = dg;
+          nxt[c.tail] = al;
+          c.tail = al;
+          ++c.count;
         } else {
-          chains.push_back({rp, dg, {(int32_t)(a - s)}});
+          chains.push_back({rp, dg, al, al, 1});
         }
       }
 
       // ---- keep top max_chains by count (stable: creation order) ----
       kept.clear();
       for (size_t j = 0; j < chains.size(); ++j)
-        if ((int32_t)chains[j].idx.size() >= cp.min_anchors)
-          kept.push_back(j);
+        if (chains[j].count >= cp.min_anchors) kept.push_back(j);
       std::stable_sort(kept.begin(), kept.end(), [&](size_t a, size_t b) {
-        return chains[a].idx.size() > chains[b].idx.size();
+        return chains[a].count > chains[b].count;
       });
       if ((int32_t)kept.size() > cp.max_chains) kept.resize(cp.max_chains);
 
@@ -599,28 +608,37 @@ void chain_one_read(int64_t r, int64_t rlen, const int32_t* mpos,
       const int64_t kMissing = INT64_MIN;
       for (size_t kj : kept) {
         const ChainHyp& ch = chains[kj];
-        const int64_t q_first = anchors[s + ch.idx.front()].rpos;
-        const int64_t q_last = anchors[s + ch.idx.back()].rpos;
+        const int64_t q_first = anchors[s + ch.head].rpos;
+        const int64_t q_last = anchors[s + ch.tail].rpos;
         const int64_t b_first = q_first / R, b_last = q_last / R;
         const int64_t b_max = std::max<int64_t>(0, (rlen - 1) / R);
         int64_t b0 = b_first, b1 = b_last;
-        if ((int32_t)ch.idx.size() >= cp.ext_min_anchors) {
+        if (ch.count >= cp.ext_min_anchors) {
           b0 = std::max<int64_t>(0, b0 - 1);
           b1 = std::min(b_max, b1 + 1);
         }
         const int64_t n_blocks = b1 - b0 + 1;
         d0s.assign(n_blocks, kMissing);
-        for (int64_t bi = b_first; bi <= b_last; ++bi) {
-          med.clear();
-          for (int32_t ai : ch.idx) {
-            const int64_t rp = anchors[s + ai].rpos;
-            if (rp >= bi * R && rp < (bi + 1) * R)
-              med.push_back(anchors[s + ai].diag);
+        // One walk down the chain: rpos is non-decreasing along it (the
+        // group is rpos-sorted and appended in order), so each block's
+        // anchors form a contiguous run.
+        med.clear();
+        int64_t cur_b = b_first;
+        for (int32_t ai = ch.head; ai >= 0; ai = nxt[ai]) {
+          const int64_t bi = anchors[s + ai].rpos / R;
+          if (bi != cur_b) {
+            if (!med.empty()) {
+              std::sort(med.begin(), med.end());
+              d0s[cur_b - b0] = med[(med.size() - 1) / 2];
+              med.clear();
+            }
+            cur_b = bi;
           }
-          if (!med.empty()) {
-            std::sort(med.begin(), med.end());
-            d0s[bi - b0] = med[(med.size() - 1) / 2];
-          }
+          med.push_back(anchors[s + ai].diag);
+        }
+        if (!med.empty()) {
+          std::sort(med.begin(), med.end());
+          d0s[cur_b - b0] = med[(med.size() - 1) / 2];
         }
         for (int64_t bi = 0; bi < n_blocks; ++bi) {
           if (d0s[bi] != kMissing) continue;
@@ -647,7 +665,7 @@ void chain_one_read(int64_t r, int64_t rlen, const int32_t* mpos,
           out->path.push_back((int32_t)(key >> 1));
           out->strand.push_back((int8_t)(key & 1));
           out->d0.push_back((int32_t)d0s[bi]);
-          out->support.push_back((int32_t)ch.idx.size());
+          out->support.push_back(ch.count);
           out->chain.push_back(chain_counter);
           out->q_lo.push_back((int32_t)(b * R));
           out->q_hi.push_back((int32_t)std::min((b + 1) * R, rlen));

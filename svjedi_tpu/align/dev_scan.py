@@ -145,6 +145,24 @@ def _scan_kernel(
     ).sum(axis=1, dtype=jnp.uint8)
 
 
+def _scan_cap(n_codes: int, n_cap: int) -> int:
+    """Static scan length: n_codes rounded up to a quarter-octave class
+    ({1, 1.25, 1.5, 1.75} x 2^k, multiple-of-8), capped at the buffer's
+    n_cap. The DP kernels need n_cap's coarse power-of-two classes (every
+    distinct shape is a 20-60 s Mosaic compile), but the scan is plain XLA
+    (seconds to compile), so finer classes are affordable — and the
+    power-of-two padding is real device time at big chunks (a 17 Mb chunk
+    pads to 33.6 M: the scan runs 2x the useful volume)."""
+    if n_codes <= 32:
+        return min(32, n_cap)
+    base = 1 << max((n_codes - 1).bit_length() - 1, 5)
+    for num in (4, 5, 6, 7, 8):
+        cap = base * num // 4  # base >= 32: always a multiple of 8
+        if cap >= n_codes:
+            return min(cap, n_cap)
+    return n_cap
+
+
 def dispatch_scan(device_data, k: int, w: int) -> jnp.ndarray:
     """Enqueue the scan for an uploaded chunk; returns the device bitmask.
 
@@ -159,7 +177,8 @@ def dispatch_scan(device_data, k: int, w: int) -> jnp.ndarray:
         )
     out = _scan_kernel(
         device_data.reads2, device_data.offsets32,
-        k=k, w=w, n_cap=device_data.n_bases,
+        k=k, w=w,
+        n_cap=_scan_cap(device_data.n_codes, device_data.n_bases),
     )
     try:
         out.copy_to_host_async()

@@ -46,9 +46,16 @@ class Winners:
     blocklen: Optional[np.ndarray] = None
     mapq: Optional[np.ndarray] = None
     #: Audit-pass invariant: how far the summed piece re-scores fall below
-    #: the winning chain score (0 for healthy winners; see the warning in
-    #: :func:`compute_winner_stats`).
+    #: the winning chain score (0 for healthy winners), and the flag for
+    #: winners beyond the tolerated slack. Expected for breakpoint-crossing
+    #: spans whose true alignment path steps off the interpolated diagonal
+    #: by more than the doubled audit band (large net indels inside the
+    #: span): the chain bridges a discontinuity minigraph would report as a
+    #: split alignment, and the re-scored identity honestly reflects the
+    #: unmatched middle. See the warning in :func:`compute_winner_stats`
+    #: and tests/test_end_to_end.py's pinned count on the golden bundle.
     rescore_deficit: Optional[np.ndarray] = None
+    rescore_flag: Optional[np.ndarray] = None
     #: Chain-anchor alignment span in path coordinates (outermost anchor
     #: extents; the analog of what a chain-level mapper like minigraph
     #: reports as Ts/Te). Set by finalize_chunk; chunk-local diagnostics.
@@ -884,7 +891,8 @@ def prune_secondaries(
             )
         ]
     )
-    for f in ("matches", "blocklen", "mapq", "anchor_ts", "anchor_te"):
+    for f in ("matches", "blocklen", "mapq", "anchor_ts", "anchor_te",
+              "rescore_deficit", "rescore_flag"):
         v = getattr(winners, f)
         if v is not None:
             setattr(out, f, v[keep])
@@ -943,7 +951,8 @@ def cross_cluster_prune(winners: Winners, reads: ReadSet) -> Winners:
             )
         ]
     )
-    for f in ("matches", "blocklen", "mapq", "anchor_ts", "anchor_te"):
+    for f in ("matches", "blocklen", "mapq", "anchor_ts", "anchor_te",
+              "rescore_deficit", "rescore_flag"):
         v = getattr(winners, f)
         if v is not None:
             setattr(out, f, v[keep])
@@ -1128,7 +1137,8 @@ def compute_winner_stats(
     # clipped segments); warn only when the sum falls far below.
     slack = 64 * np.maximum(1, (qspan + PIECE - 1) // PIECE)
     winners.rescore_deficit = np.maximum(0, winners.score - score_sum)
-    mismatched = int((score_sum + slack < winners.score).sum())
+    winners.rescore_flag = score_sum + slack < winners.score
+    mismatched = int(winners.rescore_flag.sum())
     if mismatched:  # pragma: no cover - invariant check
         import sys
 
@@ -1448,7 +1458,9 @@ def align_and_count(
     # Chunk pipeline: while chunk i's DP batches execute on the device, the
     # seeder thread computes chunk i+1's candidates (host C++/numpy only —
     # the native scans release the GIL, so seeding genuinely overlaps both
-    # the device wait and the main thread's dispatch numpy). seed_s below is
+    # the device wait and the main thread's dispatch numpy). One worker:
+    # two concurrent seeds measured SLOWER on this 2-core host (chain
+    # threads thrash; r4 sweep 2628 vs 2948 reads/s). seed_s below is
     # therefore the *exposed* seed wait; seed_cpu_s is the true host cost.
     from concurrent.futures import ThreadPoolExecutor
 
@@ -1456,24 +1468,24 @@ def align_and_count(
     chunks = [reads.slice(s, min(s + chunk_reads, reads.n_reads))
               for s in starts]
     with ThreadPoolExecutor(max_workers=1) as seeder:
-        seed_future = None
+        seed_futures: Dict[int, object] = {}
         if chunks:
             prep_chunk(0)
-            seed_future = seeder.submit(
+            seed_futures[0] = seeder.submit(
                 seed_chunk, chunks[0], scan_outs.pop(0, None)
             )
         for ci, (start, chunk) in enumerate(zip(starts, chunks)):
-            # Enqueue the NEXT chunk's upload + device scan before blocking
-            # on this chunk's seed: the scan executes during the wait.
+            # Enqueue the NEXT chunk's upload + device scan AND submit its
+            # seed before blocking on this chunk's: the scan executes
+            # during the wait and the two seeds' device/CPU phases overlap.
             if ci + 1 < len(chunks):
                 prep_chunk(ci + 1)
-            t0 = time.perf_counter()
-            cands, seed_cpu = seed_future.result()
-            t1 = time.perf_counter()
-            if ci + 1 < len(chunks):
-                seed_future = seeder.submit(
+                seed_futures[ci + 1] = seeder.submit(
                     seed_chunk, chunks[ci + 1], scan_outs.pop(ci + 1, None)
                 )
+            t0 = time.perf_counter()
+            cands, seed_cpu = seed_futures.pop(ci).result()
+            t1 = time.perf_counter()
             device_data = device_datas.pop(ci)
             disp = dispatch_chunk(
                 chunk, panel, index, cands, align_cfg, device_data,
@@ -1503,7 +1515,8 @@ def align_and_count(
                 )
             ]
         )
-        for f in ("matches", "blocklen", "mapq", "anchor_ts", "anchor_te"):
+        for f in ("matches", "blocklen", "mapq", "anchor_ts", "anchor_te",
+                  "rescore_deficit", "rescore_flag"):
             if all(getattr(w, f) is not None for w in winner_parts):
                 setattr(
                     merged, f,

@@ -225,6 +225,13 @@ def run_pipeline(cfg: PipelineConfig) -> Dict:
 
         jax.profiler.stop_trace()
     stats.set("n_winning_alignments", int(len(winners.read)))
+    if winners.rescore_flag is not None:
+        # Winners whose audit re-score fell below the chain score by more
+        # than the slack: breakpoint-crossing spans bridging an alignment
+        # discontinuity (see Winners.rescore_deficit). Surfaced so runs
+        # can be compared; pinned on the golden bundle in
+        # tests/test_end_to_end.py.
+        stats.set("n_audit_rescore_below", int(winners.rescore_flag.sum()))
     if cfg.dist.graph_shards > 1:
         # On-mesh SPMD count merge (dist/count_merge.py): re-derive the
         # per-(SV, allele) matrix from the merged winners under shard_map

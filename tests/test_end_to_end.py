@@ -76,6 +76,19 @@ def test_golden_end_to_end(tmp_path):
     golden = (TEST_DATA / "expected_genotype.vcf.eval").read_text()
     assert report == golden
 
+    # Pin the audit re-score warning: exactly 7 winners on this bundle
+    # bridge an alignment discontinuity (INV-60000-66000 alt-path and
+    # BND-50000 ref-path spans with 59-251 bp of net indel inside the
+    # span) whose true path steps off the interpolated audit diagonal by
+    # more than the doubled band. Their re-scored identity honestly
+    # reflects the unmatched middle; a change in this count signals an
+    # aligner or audit-band behavior change (Winners.rescore_deficit).
+    import json
+
+    with open(str(tmp_path / "test") + "_stats.json") as fh:
+        stats = json.load(fh)
+    assert stats["counters"]["n_audit_rescore_below"] == 7
+
 
 def test_cli_graph_and_eval(tmp_path):
     if not TEST_DATA.exists():
