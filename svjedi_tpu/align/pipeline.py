@@ -965,6 +965,7 @@ def count_support(
     reads: ReadSet,
     d_over: int = 100,
     collect_audit: bool = True,
+    min_density: float = 0.0,
 ) -> Tuple[Dict[str, List[int]], Dict[str, List[List[str]]]]:
     """Per-(SV, allele) support counts from winning alignments.
 
@@ -986,9 +987,19 @@ def count_support(
     """
     counts: Dict[str, List[int]] = {}
     audit: Dict[str, List[List[str]]] = {}
+    # Density gate (GenotypeConfig.min_count_density): winners whose score
+    # per target base falls below the threshold are discontinuity bridges
+    # and contribute no crossings (mirrored on-mesh in
+    # dist/count_merge.build_entry_table).
+    dense_ok = None
+    if min_density > 0 and len(winners.read):
+        span = np.maximum(1, winners.te - winners.ts + 1)
+        dense_ok = winners.score >= min_density * span
     # (read, tag) -> list of qualifying (score, row, link, allele)
     contrib: Dict[Tuple[int, str], List[Tuple[int, int, int, int]]] = {}
     for i in range(len(winners.read)):
+        if dense_ok is not None and not dense_ok[i]:
+            continue
         path = panel.paths[int(winners.path[i])]
         ts, te = int(winners.ts[i]), int(winners.te[i])
         for tag, allele, j, li in path.owned:
@@ -1267,7 +1278,8 @@ def align_and_count(
         if collect_audit:
             compute_winner_stats(chunk, panel, winners, align_cfg)
         chunk_counts, chunk_audit = count_support(
-            panel, winners, chunk, genotype_cfg.d_over, collect_audit
+            panel, winners, chunk, genotype_cfg.d_over, collect_audit,
+            min_density=genotype_cfg.min_count_density,
         )
         for tag, pair in chunk_counts.items():
             entry = counts.setdefault(tag, [0, 0])

@@ -100,6 +100,17 @@ class GenotypeConfig:
     #: Required aligned bases on each side of a crossed junction
     #: (filter-alignments.py d_over, effectively fixed at 100).
     d_over: int = 100
+    #: Minimum winner score density (score / target span) for an
+    #: alignment to contribute crossings. The analog of minigraph's
+    #: chain-quality admission (the reference pipeline itself has no such
+    #: rule — minigraph simply never emits the low-density alignments):
+    #: with match=+2 scoring, a clean long-read alignment at ~10% error
+    #: scores ~1.2-1.5/base; winners below ~1.1 are discontinuity
+    #: bridges whose middle never aligned (see PARITY.md attribution
+    #: table — cutting them removes over-counts only, verified zero
+    #: under-counts vs the golden bundle). 0 disables. Not applied in
+    #: the external-GAF path (reference filter semantics are exact).
+    min_count_density: float = 1.1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -60,6 +60,7 @@ def build_entry_table(
     winners,
     tag_to_id: Dict[str, int],
     n_shards: int = 1,
+    min_density: float = 0.0,
 ) -> Optional[EntryTable]:
     """Flatten winners×owned and label segments, sharded by read.
 
@@ -72,6 +73,22 @@ def build_entry_table(
     n_w = len(winners.read)
     if n_w == 0:
         return None
+    if min_density > 0:
+        # Density gate, byte-equal to the host count_support rule.
+        span = np.maximum(1, winners.te - winners.ts + 1)
+        ok = winners.score >= min_density * span
+        if not ok.all():
+            import types
+
+            winners = types.SimpleNamespace(
+                **{
+                    f: getattr(winners, f)[ok]
+                    for f in ("read", "path", "ts", "te", "score")
+                }
+            )
+            n_w = len(winners.read)
+            if n_w == 0:
+                return None
     K = max([len(p.owned) for p in panel.paths] + [1])
     n_paths = len(panel.paths)
     J = np.zeros((n_paths, K), np.int32)
@@ -334,6 +351,7 @@ def mesh_count_support(
     mesh,
     d_over: int = 100,
     tags: Optional[Sequence[str]] = None,
+    min_density: float = 0.0,
 ) -> Dict[str, List[int]]:
     """Counts dict from merged winners via the on-mesh count step.
 
@@ -348,7 +366,10 @@ def mesh_count_support(
     tag_to_id = {t: i for i, t in enumerate(tags)}
     n_tags = max(1, len(tags))
     n_data = mesh.shape["data"]
-    et = build_entry_table(panel, winners, tag_to_id, n_shards=n_data)
+    et = build_entry_table(
+        panel, winners, tag_to_id, n_shards=n_data,
+        min_density=min_density,
+    )
     if et is None:
         return {}
     step = make_mesh_count_step(

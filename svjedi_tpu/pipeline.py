@@ -254,7 +254,8 @@ def run_pipeline(cfg: PipelineConfig) -> Dict:
             mesh = make_mesh(data_shards=d, graph_shards=g,
                              devices=jax.devices()[: d * g])
             counts = mesh_count_support(
-                panel, winners, mesh, d_over=cfg.genotype.d_over
+                panel, winners, mesh, d_over=cfg.genotype.d_over,
+                min_density=cfg.genotype.min_count_density,
             )
         stats.set("mesh", f"{d}x{g}")
     if cfg.write_gaf:

@@ -64,7 +64,10 @@ def test_numpy_reference_matches_count_support(winner_setup):
     tags = sorted({t for p in panel.paths for t, *_ in p.owned})
     tag_to_id = {t: i for i, t in enumerate(tags)}
     for n_shards in (1, 3, 8):
-        et = build_entry_table(panel, winners, tag_to_id, n_shards=n_shards)
+        et = build_entry_table(
+            panel, winners, tag_to_id, n_shards=n_shards,
+            min_density=gcfg.min_count_density,
+        )
         mat = count_entries_np(et, len(tags), gcfg.d_over)
         got = {
             t: [int(mat[i, 0]), int(mat[i, 1])]
@@ -81,7 +84,10 @@ def test_mesh_step_matches_host(winner_setup):
     mesh = make_mesh(
         data_shards=4, graph_shards=2, devices=jax.devices()[:8]
     )
-    got = mesh_count_support(panel, winners, mesh, d_over=gcfg.d_over)
+    got = mesh_count_support(
+        panel, winners, mesh, d_over=gcfg.d_over,
+        min_density=gcfg.min_count_density,
+    )
     assert got == counts
 
 

@@ -29,11 +29,15 @@ from debug_parity import golden_raw_counts  # noqa: E402
 from svjedi_tpu.align.pipeline import compute_winner_stats  # noqa: E402
 
 
-def crossings(panel, winners, d_over):
+def crossings(panel, winners, d_over, min_density=0.0):
     """(tag, allele) -> list of dicts, one per counted crossing, with the
-    same dedup/exclusivity rules as count_support."""
+    same dedup/exclusivity/density rules as count_support."""
     contrib = {}
+    span = np.maximum(1, winners.te - winners.ts + 1)
+    dense_ok = winners.score >= min_density * span
     for i in range(len(winners.read)):
+        if not dense_ok[i]:
+            continue
         path = panel.paths[int(winners.path[i])]
         ts, te = int(winners.ts[i]), int(winners.te[i])
         for tag, allele, j, li in path.owned:
@@ -74,7 +78,8 @@ def main():
     )
     compute_winner_stats(reads, panel, winners, cfg.align)
     gold = golden_raw_counts()
-    cross = crossings(panel, winners, cfg.genotype.d_over)
+    cross = crossings(panel, winners, cfg.genotype.d_over,
+                      min_density=cfg.genotype.min_count_density)
     ours = {}
     for (tag, allele), rows in cross.items():
         pair = ours.setdefault(tag, [0, 0])
