@@ -14,7 +14,11 @@
 #include <zlib.h>
 
 #include <algorithm>
+#include <atomic>
+#include <chrono>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <thread>
@@ -479,10 +483,46 @@ struct ChainHyp {
   int32_t head, tail, count;
 };
 
+// Phase profiling for the chaining hot path (SVJT_CHAIN_PROF=1):
+// cross-thread nanosecond accumulators, printed by svt_chain5.
+struct ChainProf {
+  std::atomic<int64_t> expand_ns{0}, sort_ns{0}, chain_ns{0},
+      blocks_ns{0}, anchors{0}, reads{0};
+};
+inline ChainProf& chain_prof() {
+  static ChainProf p;
+  return p;
+}
+inline bool chain_prof_on() {
+  static const bool on = std::getenv("SVJT_CHAIN_PROF") != nullptr;
+  return on;
+}
+inline int64_t prof_now() {
+  return std::chrono::duration_cast<std::chrono::nanoseconds>(
+             std::chrono::steady_clock::now().time_since_epoch())
+      .count();
+}
+
 // Reusable per-thread scratch for chain_one_read (avoids reallocation).
+// Anchors are grouped by (path, strand) key through an epoch-stamped
+// open-addressing map DURING expansion, and each anchor packs
+// (rpos << 32 | diag + 2^31) into one uint64 so the per-group sort
+// compares 8-byte scalars — ascending uint64 == ascending (rpos, diag),
+// exactly the old 3-field comparator restricted to a group.
 struct ChainScratch {
-  std::vector<Anchor> anchors;
+  std::vector<uint64_t> tmp_packed;  // emission-order packed anchors
+  std::vector<int32_t> tmp_bucket;   // emission-order bucket ids
+  std::vector<uint64_t> packed;      // key-major scatter target
+  std::vector<int64_t> bkeys;        // bucket -> (path << 1 | strand)
+  std::vector<int32_t> bcount;       // bucket count, then scatter cursor
+  std::vector<int32_t> bstart;       // bucket subrange start
+  std::vector<std::pair<int64_t, int32_t>> border;  // (key, bucket) sorted
+  std::vector<int64_t> map_key;      // open addressing key -> bucket
+  std::vector<int32_t> map_val;
+  std::vector<int32_t> map_epoch;
+  int32_t epoch = 0;
   std::vector<ChainHyp> chains;
+  std::vector<int32_t> active;
   std::vector<int32_t> nxt;
   std::vector<size_t> kept;
   std::vector<int64_t> d0s;
@@ -498,186 +538,300 @@ void chain_one_read(int64_t r, int64_t rlen, const int32_t* mpos,
                     int32_t k, const SeedIndex& idx, const ChainParams& cp,
                     SeedResult* out, int32_t panel_path_limit,
                     ChainScratch& cs) {
-  std::vector<Anchor>& anchors = cs.anchors;
+  std::vector<uint64_t>& tmp_packed = cs.tmp_packed;
+  std::vector<int32_t>& tmp_bucket = cs.tmp_bucket;
+  std::vector<uint64_t>& packed = cs.packed;
+  std::vector<int64_t>& bkeys = cs.bkeys;
+  std::vector<int32_t>& bcount = cs.bcount;
+  std::vector<int32_t>& bstart = cs.bstart;
   std::vector<ChainHyp>& chains = cs.chains;
+  std::vector<int32_t>& active = cs.active;
   std::vector<int32_t>& nxt = cs.nxt;
   std::vector<size_t>& kept = cs.kept;
   std::vector<int64_t>& d0s = cs.d0s;
   std::vector<int64_t>& med = cs.med;
-  {
-    anchors.clear();
-    for (int64_t i = 0; i < nm; ++i) {
-      const uint32_t h = mhash[i];
-      int64_t u = -1;
-      if (idx.lut != nullptr) {
-        uint64_t si = h & idx.lut->mask;
-        for (uint64_t slot; (slot = idx.lut->slots[si]) != 0;
-             si = (si + 1) & idx.lut->mask) {
-          if ((uint32_t)(slot >> 32) == h) {
-            u = (int64_t)(uint32_t)slot - 1;
-            break;
-          }
-        }
-        if (u < 0) continue;
-      } else {
-        const uint32_t* lo =
-            std::lower_bound(idx.uniq_hash, idx.uniq_hash + idx.n_uniq, h);
-        if (lo == idx.uniq_hash + idx.n_uniq || *lo != h) continue;
-        u = lo - idx.uniq_hash;
+  const bool prof = chain_prof_on();
+  int64_t tp0 = prof ? prof_now() : 0;
+
+  tmp_packed.clear();
+  tmp_bucket.clear();
+  bkeys.clear();
+  bcount.clear();
+  ++cs.epoch;
+  if (cs.map_key.size() < 64) {
+    cs.map_key.resize(64);
+    cs.map_val.resize(64);
+    cs.map_epoch.assign(64, 0);
+  }
+  // find-or-insert (path<<1|strand) -> dense bucket id; epoch stamping
+  // makes per-read reset free, growth rehashes only this read's keys.
+  auto bucket_of = [&](int64_t key) -> int32_t {
+    if ((bkeys.size() + 1) * 2 > cs.map_key.size()) {
+      const size_t ncap = cs.map_key.size() * 2;
+      std::vector<int64_t> nk(ncap);
+      std::vector<int32_t> nv(ncap);
+      std::vector<int32_t> ne(ncap, 0);
+      const uint64_t nmask = ncap - 1;
+      for (size_t b = 0; b < bkeys.size(); ++b) {
+        uint64_t si = ((uint64_t)bkeys[b] * 0x9E3779B97F4A7C15ULL) & nmask;
+        while (ne[si] != 0) si = (si + 1) & nmask;
+        ne[si] = 1;
+        nk[si] = bkeys[b];
+        nv[si] = (int32_t)b;
       }
-      for (int64_t j = idx.hit_start[u]; j < idx.hit_start[u + 1]; ++j) {
-        const int8_t strand = (int8_t)(mstrand[i] ^ idx.hit_strand[j]);
-        const int64_t rpos_eff =
-            strand == 0 ? (int64_t)mpos[i]
-                        : rlen - k - (int64_t)mpos[i];
-        anchors.push_back({((int64_t)idx.hit_path[j] << 1) | strand,
-                           rpos_eff, idx.hit_pos[j] - rpos_eff});
-      }
+      // stamp inserted slots with the current epoch
+      for (size_t si = 0; si < ncap; ++si)
+        if (ne[si]) ne[si] = cs.epoch;
+      cs.map_key.swap(nk);
+      cs.map_val.swap(nv);
+      cs.map_epoch.swap(ne);
     }
-    if (anchors.empty()) return;
-    // Merged panel+decoy seeding: a read with no panel anchor can never
-    // contribute a count, and decoy chains are consulted only for reads
-    // with panel chains — skip the whole read before the sort/chain work.
-    if (panel_path_limit > 0) {
-      bool has_panel = false;
-      for (const Anchor& a : anchors) {
-        if ((a.key >> 1) < panel_path_limit) {
-          has_panel = true;
+    const uint64_t mask = cs.map_key.size() - 1;
+    uint64_t si = ((uint64_t)key * 0x9E3779B97F4A7C15ULL) & mask;
+    while (cs.map_epoch[si] == cs.epoch) {
+      if (cs.map_key[si] == key) return cs.map_val[si];
+      si = (si + 1) & mask;
+    }
+    cs.map_epoch[si] = cs.epoch;
+    cs.map_key[si] = key;
+    cs.map_val[si] = (int32_t)bkeys.size();
+    bkeys.push_back(key);
+    bcount.push_back(0);
+    return (int32_t)(bkeys.size() - 1);
+  };
+  constexpr int64_t kDiagBias = INT64_C(0x80000000);
+
+  for (int64_t i = 0; i < nm; ++i) {
+    const uint32_t h = mhash[i];
+    int64_t u = -1;
+    if (idx.lut != nullptr) {
+      uint64_t si = h & idx.lut->mask;
+      for (uint64_t slot; (slot = idx.lut->slots[si]) != 0;
+           si = (si + 1) & idx.lut->mask) {
+        if ((uint32_t)(slot >> 32) == h) {
+          u = (int64_t)(uint32_t)slot - 1;
           break;
         }
       }
-      if (!has_panel) return;
+      if (u < 0) continue;
+    } else {
+      const uint32_t* lo =
+          std::lower_bound(idx.uniq_hash, idx.uniq_hash + idx.n_uniq, h);
+      if (lo == idx.uniq_hash + idx.n_uniq || *lo != h) continue;
+      u = lo - idx.uniq_hash;
     }
-    std::sort(anchors.begin(), anchors.end(),
-              [](const Anchor& a, const Anchor& b) {
-                if (a.key != b.key) return a.key < b.key;
-                if (a.rpos != b.rpos) return a.rpos < b.rpos;
-                return a.diag < b.diag;
-              });
+    for (int64_t j = idx.hit_start[u]; j < idx.hit_start[u + 1]; ++j) {
+      const int8_t strand = (int8_t)(mstrand[i] ^ idx.hit_strand[j]);
+      const int64_t rpos_eff = strand == 0
+                                   ? (int64_t)mpos[i]
+                                   : rlen - k - (int64_t)mpos[i];
+      const int64_t diag = idx.hit_pos[j] - rpos_eff;
+      const int32_t b =
+          bucket_of(((int64_t)idx.hit_path[j] << 1) | strand);
+      tmp_bucket.push_back(b);
+      tmp_packed.push_back(((uint64_t)rpos_eff << 32) |
+                           (uint32_t)(diag + kDiagBias));
+      ++bcount[b];
+    }
+  }
+  if (tmp_packed.empty()) return;
+  // Merged panel+decoy seeding: a read with no panel anchor can never
+  // contribute a count, and decoy chains are consulted only for reads
+  // with panel chains — skip the whole read before the sort/chain work.
+  if (panel_path_limit > 0) {
+    bool has_panel = false;
+    for (const int64_t key : bkeys) {
+      if ((key >> 1) < panel_path_limit) {
+        has_panel = true;
+        break;
+      }
+    }
+    if (!has_panel) return;
+  }
+  int64_t tp1 = 0;
+  if (prof) {
+    tp1 = prof_now();
+    chain_prof().expand_ns += tp1 - tp0;
+    chain_prof().anchors += (int64_t)tmp_packed.size();
+    chain_prof().reads += 1;
+  }
+  // Stable scatter into key-major layout, groups in ascending-key order
+  // (the old global sort's primary key), then an 8-byte sort per group
+  // gives ascending (rpos, diag) — identical total order to the old
+  // 3-field comparator.
+  std::vector<std::pair<int64_t, int32_t>>& border = cs.border;
+  border.clear();
+  for (size_t b = 0; b < bkeys.size(); ++b)
+    border.emplace_back(bkeys[b], (int32_t)b);
+  std::sort(border.begin(), border.end());
+  bstart.resize(bkeys.size());
+  int32_t cum = 0;
+  for (const auto& kb : border) {
+    bstart[kb.second] = cum;
+    cum += bcount[kb.second];
+  }
+  packed.resize(tmp_packed.size());
+  // bcount becomes the scatter cursor; subrange of bucket b ends where
+  // the cursor stops.
+  for (size_t b = 0; b < bkeys.size(); ++b) bcount[b] = bstart[b];
+  for (size_t a = 0; a < tmp_packed.size(); ++a)
+    packed[bcount[tmp_bucket[a]]++] = tmp_packed[a];
+  for (const auto& kb : border)
+    std::sort(packed.begin() + bstart[kb.second],
+              packed.begin() + bcount[kb.second]);
+  if (prof) {
+    const int64_t tp2 = prof_now();
+    chain_prof().sort_ns += tp2 - tp1;
+    tp1 = tp2;
+  }
 
-    int32_t chain_counter = 0;  // per-read-local
-    size_t n = anchors.size();
-    size_t s = 0;
-    while (s < n) {
-      const int64_t key = anchors[s].key;
-      size_t g_end = s;
-      while (g_end < n && anchors[g_end].key == key) ++g_end;
+  int32_t chain_counter = 0;  // per-read-local
+  for (const auto& kb : border) {
+    const int64_t key = kb.first;
+    const size_t s = (size_t)bstart[kb.second];
+    const size_t g_end = (size_t)bcount[kb.second];
+    const auto rpos_at = [&](size_t x) -> int64_t {
+      return (int64_t)(packed[x] >> 32);
+    };
+    const auto diag_at = [&](size_t x) -> int64_t {
+      return (int64_t)(uint32_t)packed[x] - kDiagBias;
+    };
 
-      // ---- greedy chaining (== seed.py _chain_group) ----
-      chains.clear();
-      nxt.assign(g_end - s, -1);
-      for (size_t a = s; a < g_end; ++a) {
-        const int64_t rp = anchors[a].rpos, dg = anchors[a].diag;
-        int best_j = -1;
-        int64_t best_dd = 0;
-        for (size_t j = 0; j < chains.size(); ++j) {
-          const int64_t gap = rp - chains[j].last_rpos;
-          if (gap > cp.max_gap) continue;
-          const int64_t dd = std::llabs(dg - chains[j].last_diag);
-          if (dd > cp.drift_abs + ((int64_t)cp.drift_permille * gap) / 1000)
-            continue;
-          if (best_j < 0 || dd < best_dd) {
-            best_dd = dd;
-            best_j = (int)j;
-          }
+    // ---- greedy chaining (== seed.py _chain_group) ----
+    // rpos is non-decreasing across the group, so a chain whose gap
+    // exceeds max_gap is dead for every later anchor too: keep a
+    // compacted active list (creation order preserved — the strict
+    // dd < best_dd tie-break keeps electing the earliest-created chain,
+    // identical to scanning the full list).
+    chains.clear();
+    active.clear();
+    nxt.assign(g_end - s, -1);
+    for (size_t a = s; a < g_end; ++a) {
+      const int64_t rp = rpos_at(a), dg = diag_at(a);
+      int best_j = -1;
+      int64_t best_dd = 0;
+      size_t na = 0;
+      for (size_t ji = 0; ji < active.size(); ++ji) {
+        const int32_t j = active[ji];
+        const int64_t gap = rp - chains[j].last_rpos;
+        if (gap > cp.max_gap) continue;  // retired for good
+        active[na++] = j;
+        const int64_t dd = std::llabs(dg - chains[j].last_diag);
+        if (dd > cp.drift_abs + ((int64_t)cp.drift_permille * gap) / 1000)
+          continue;
+        if (best_j < 0 || dd < best_dd) {
+          best_dd = dd;
+          best_j = j;
         }
-        const int32_t al = (int32_t)(a - s);
-        if (best_j >= 0) {
-          ChainHyp& c = chains[best_j];
-          c.last_rpos = rp;
-          c.last_diag = dg;
-          nxt[c.tail] = al;
-          c.tail = al;
-          ++c.count;
+      }
+      active.resize(na);
+      const int32_t al = (int32_t)(a - s);
+      if (best_j >= 0) {
+        ChainHyp& c = chains[best_j];
+        c.last_rpos = rp;
+        c.last_diag = dg;
+        nxt[c.tail] = al;
+        c.tail = al;
+        ++c.count;
+      } else {
+        active.push_back((int32_t)chains.size());
+        chains.push_back({rp, dg, al, al, 1});
+      }
+    }
+
+    // ---- keep top max_chains by count (stable: creation order) ----
+    kept.clear();
+    for (size_t j = 0; j < chains.size(); ++j)
+      if (chains[j].count >= cp.min_anchors) kept.push_back(j);
+    std::stable_sort(kept.begin(), kept.end(), [&](size_t a, size_t b) {
+      return chains[a].count > chains[b].count;
+    });
+    if ((int32_t)kept.size() > cp.max_chains) kept.resize(cp.max_chains);
+    if (prof) {
+      const int64_t tg = prof_now();
+      chain_prof().chain_ns += tg - tp1;
+      tp1 = tg;
+    }
+
+    // ---- blocks per chain (== seed.py _blocks_for_chain) ----
+    const int64_t R = cp.block_rows;
+    const int64_t kMissing = INT64_MIN;
+    for (size_t kj : kept) {
+      const ChainHyp& ch = chains[kj];
+      const int64_t q_first = rpos_at(s + ch.head);
+      const int64_t q_last = rpos_at(s + ch.tail);
+      const int64_t b_first = q_first / R, b_last = q_last / R;
+      const int64_t b_max = std::max<int64_t>(0, (rlen - 1) / R);
+      int64_t b0 = b_first, b1 = b_last;
+      if (ch.count >= cp.ext_min_anchors) {
+        b0 = std::max<int64_t>(0, b0 - 1);
+        b1 = std::min(b_max, b1 + 1);
+      }
+      const int64_t n_blocks = b1 - b0 + 1;
+      d0s.assign(n_blocks, kMissing);
+      // One walk down the chain: rpos is non-decreasing along it (the
+      // group is rpos-sorted and appended in order), so each block's
+      // anchors form a contiguous run.
+      med.clear();
+      int64_t cur_b = b_first;
+      for (int32_t ai = ch.head; ai >= 0; ai = nxt[ai]) {
+        const int64_t bi = rpos_at(s + ai) / R;
+        if (bi != cur_b) {
+          if (!med.empty()) {
+            std::sort(med.begin(), med.end());
+            d0s[cur_b - b0] = med[(med.size() - 1) / 2];
+            med.clear();
+          }
+          cur_b = bi;
+        }
+        med.push_back(diag_at(s + ai));
+      }
+      if (!med.empty()) {
+        std::sort(med.begin(), med.end());
+        d0s[cur_b - b0] = med[(med.size() - 1) / 2];
+      }
+      for (int64_t bi = 0; bi < n_blocks; ++bi) {
+        if (d0s[bi] != kMissing) continue;
+        int64_t left = -1, right = -1;
+        for (int64_t j = bi - 1; j >= 0; --j)
+          if (d0s[j] != kMissing) { left = j; break; }
+        for (int64_t j = bi + 1; j < n_blocks; ++j)
+          if (d0s[j] != kMissing) { right = j; break; }
+        if (left >= 0 && right >= 0) {
+          const double v =
+              (double)d0s[left] +
+              (double)(d0s[right] - d0s[left]) * (double)(bi - left) /
+                  (double)(right - left);
+          d0s[bi] = (int64_t)std::llround(v);
+        } else if (left >= 0) {
+          d0s[bi] = d0s[left];
         } else {
-          chains.push_back({rp, dg, al, al, 1});
+          d0s[bi] = d0s[right];
         }
       }
-
-      // ---- keep top max_chains by count (stable: creation order) ----
-      kept.clear();
-      for (size_t j = 0; j < chains.size(); ++j)
-        if (chains[j].count >= cp.min_anchors) kept.push_back(j);
-      std::stable_sort(kept.begin(), kept.end(), [&](size_t a, size_t b) {
-        return chains[a].count > chains[b].count;
-      });
-      if ((int32_t)kept.size() > cp.max_chains) kept.resize(cp.max_chains);
-
-      // ---- blocks per chain (== seed.py _blocks_for_chain) ----
-      const int64_t R = cp.block_rows;
-      const int64_t kMissing = INT64_MIN;
-      for (size_t kj : kept) {
-        const ChainHyp& ch = chains[kj];
-        const int64_t q_first = anchors[s + ch.head].rpos;
-        const int64_t q_last = anchors[s + ch.tail].rpos;
-        const int64_t b_first = q_first / R, b_last = q_last / R;
-        const int64_t b_max = std::max<int64_t>(0, (rlen - 1) / R);
-        int64_t b0 = b_first, b1 = b_last;
-        if (ch.count >= cp.ext_min_anchors) {
-          b0 = std::max<int64_t>(0, b0 - 1);
-          b1 = std::min(b_max, b1 + 1);
-        }
-        const int64_t n_blocks = b1 - b0 + 1;
-        d0s.assign(n_blocks, kMissing);
-        // One walk down the chain: rpos is non-decreasing along it (the
-        // group is rpos-sorted and appended in order), so each block's
-        // anchors form a contiguous run.
-        med.clear();
-        int64_t cur_b = b_first;
-        for (int32_t ai = ch.head; ai >= 0; ai = nxt[ai]) {
-          const int64_t bi = anchors[s + ai].rpos / R;
-          if (bi != cur_b) {
-            if (!med.empty()) {
-              std::sort(med.begin(), med.end());
-              d0s[cur_b - b0] = med[(med.size() - 1) / 2];
-              med.clear();
-            }
-            cur_b = bi;
-          }
-          med.push_back(anchors[s + ai].diag);
-        }
-        if (!med.empty()) {
-          std::sort(med.begin(), med.end());
-          d0s[cur_b - b0] = med[(med.size() - 1) / 2];
-        }
-        for (int64_t bi = 0; bi < n_blocks; ++bi) {
-          if (d0s[bi] != kMissing) continue;
-          int64_t left = -1, right = -1;
-          for (int64_t j = bi - 1; j >= 0; --j)
-            if (d0s[j] != kMissing) { left = j; break; }
-          for (int64_t j = bi + 1; j < n_blocks; ++j)
-            if (d0s[j] != kMissing) { right = j; break; }
-          if (left >= 0 && right >= 0) {
-            const double v =
-                (double)d0s[left] +
-                (double)(d0s[right] - d0s[left]) * (double)(bi - left) /
-                    (double)(right - left);
-            d0s[bi] = (int64_t)std::llround(v);
-          } else if (left >= 0) {
-            d0s[bi] = d0s[left];
-          } else {
-            d0s[bi] = d0s[right];
-          }
-        }
-        for (int64_t bi = 0; bi < n_blocks; ++bi) {
-          const int64_t b = b0 + bi;
-          out->read.push_back((int32_t)r);
-          out->path.push_back((int32_t)(key >> 1));
-          out->strand.push_back((int8_t)(key & 1));
-          out->d0.push_back((int32_t)d0s[bi]);
-          out->support.push_back(ch.count);
-          out->chain.push_back(chain_counter);
-          out->q_lo.push_back((int32_t)(b * R));
-          out->q_hi.push_back((int32_t)std::min((b + 1) * R, rlen));
-          out->a_lo.push_back((int32_t)q_first);
-          out->a_hi.push_back((int32_t)std::min(q_last + k, rlen));
-        }
-        ++chain_counter;
+      for (int64_t bi = 0; bi < n_blocks; ++bi) {
+        const int64_t b = b0 + bi;
+        out->read.push_back((int32_t)r);
+        out->path.push_back((int32_t)(key >> 1));
+        out->strand.push_back((int8_t)(key & 1));
+        out->d0.push_back((int32_t)d0s[bi]);
+        out->support.push_back(ch.count);
+        out->chain.push_back(chain_counter);
+        out->q_lo.push_back((int32_t)(b * R));
+        out->q_hi.push_back((int32_t)std::min((b + 1) * R, rlen));
+        out->a_lo.push_back((int32_t)q_first);
+        out->a_hi.push_back((int32_t)std::min(q_last + k, rlen));
       }
-      s = g_end;
+      ++chain_counter;
+    }
+    if (prof) {
+      const int64_t tg = prof_now();
+      chain_prof().blocks_ns += tg - tp1;
+      tp1 = tg;
     }
   }
 }
+
 
 void chain_reads(const int8_t* codes, const int64_t* offsets, int64_t r0,
                  int64_t r1, int32_t k, int32_t w, const uint8_t* bitmap,
@@ -1027,6 +1181,16 @@ void* svt_chain5(const int8_t* codes, int64_t n_bases,
     });
   }
   for (auto& th : threads) th.join();
+  if (chain_prof_on()) {
+    ChainProf& p = chain_prof();
+    fprintf(stderr,
+            "[chain_prof] reads=%lld anchors=%lld expand=%.3fs sort=%.3fs "
+            "chain=%.3fs blocks=%.3fs (cpu-s, summed over threads)\n",
+            (long long)p.reads.exchange(0),
+            (long long)p.anchors.exchange(0),
+            p.expand_ns.exchange(0) / 1e9, p.sort_ns.exchange(0) / 1e9,
+            p.chain_ns.exchange(0) / 1e9, p.blocks_ns.exchange(0) / 1e9);
+  }
   size_t n = 0;
   for (const auto& p : parts) n += p.read.size();
   result->read.reserve(n);
