@@ -170,3 +170,20 @@ def test_chain_from_bitmask_matches_host_chain():
         np.testing.assert_array_equal(
             getattr(via_dev, f), getattr(via_host, f), err_msg=f
         )
+
+
+def test_scan_cap_classes():
+    """Quarter-octave scan caps: always >= n_codes, multiple of 8,
+    bounded by the buffer cap, and only O(log) distinct per octave."""
+    from svjedi_tpu.align.dev_scan import _scan_cap
+
+    for n in [1, 7, 8, 9, 31, 32, 33, 100, 4095, 4096, 4097,
+              1 << 20, (1 << 20) + 1, 5 << 18, 17_200_000]:
+        n_cap = 1 << max(12, (max(n, 1) - 1).bit_length())
+        cap = _scan_cap(n, n_cap)
+        assert cap >= min(n, n_cap), (n, cap)
+        assert cap % 8 == 0, (n, cap)
+        assert cap <= n_cap, (n, cap)
+    # The padding waste is bounded by 25% (vs 100% for pow2 classes).
+    n = 17_200_000
+    assert _scan_cap(n, 1 << 25) <= int(n * 1.25)
