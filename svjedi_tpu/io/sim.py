@@ -60,8 +60,11 @@ class Simulation:
 
 
 def random_genome(rng: np.random.Generator, chrom_lengths: Dict[str, int]) -> Dict[str, str]:
+    # Vectorized byte mapping: the per-char Python join took ~100 ns/base
+    # (minutes at chromosome scale).
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
     return {
-        name: "".join(_BASES[i] for i in rng.integers(0, 4, size=length))
+        name: lut[rng.integers(0, 4, size=length)].tobytes().decode()
         for name, length in chrom_lengths.items()
     }
 
@@ -76,11 +79,17 @@ def simulate_svs(
     min_separation: int = 2500,
 ) -> List[SimSV]:
     """Place non-overlapping SVs with random genotypes."""
+    import bisect
+
     svs: List[SimSV] = []
     names = list(chroms)
     genotypes = ["0/0", "0/1", "1/1"]
     attempts = 0
-    occupied: Dict[str, List[Tuple[int, int]]] = {c: [] for c in names}
+    # Per-chrom non-overlapping spans kept sorted: the overlap test is a
+    # bisect + two neighbor checks (the old full-list scan made 25k-SV
+    # simulations take hours — O(n^2) in pure Python).
+    occ_start: Dict[str, List[int]] = {c: [] for c in names}
+    occ_end: Dict[str, List[int]] = {c: [] for c in names}
     while len(svs) < n_svs and attempts < n_svs * 50:
         attempts += 1
         chrom = names[int(rng.integers(len(names)))]
@@ -89,9 +98,17 @@ def simulate_svs(
         length = int(rng.integers(min_len, max_len + 1))
         pos = int(rng.integers(min_separation, max(min_separation + 1, clen - length - min_separation)))
         span = (pos - min_separation, pos + length + min_separation)
-        if any(not (span[1] < a or span[0] > b) for a, b in occupied[chrom]):
+        ss, ee = occ_start[chrom], occ_end[chrom]
+        i = bisect.bisect_left(ss, span[0])
+        # Overlap iff the previous span ends at/after our start or the
+        # next span starts at/before our end (closed-interval test, as
+        # the old `not (span[1] < a or span[0] > b)` scan).
+        if (i > 0 and ee[i - 1] >= span[0]) or (
+            i < len(ss) and ss[i] <= span[1]
+        ):
             continue
-        occupied[chrom].append(span)
+        ss.insert(i, span[0])
+        ee.insert(i, span[1])
         ins_seq = ""
         if svtype == "INS":
             ins_seq = "".join(
@@ -222,17 +239,24 @@ def apply_haplotype(
             )
             if carried:
                 edits.append(sv)
-        new = seq
-        for sv in sorted(edits, key=lambda s: -s.pos):
+        # Single-pass piece assembly: edits are non-overlapping by
+        # construction, so slice the untouched segments between them and
+        # join once (the old descending-position splice copied the whole
+        # chromosome per edit — terabytes of copying at 25k SVs).
+        pieces = []
+        cur = 0
+        for sv in sorted(edits, key=lambda s: s.pos):
+            pieces.append(seq[cur : sv.pos])
             if sv.svtype == "DEL":
-                new = new[: sv.pos] + new[sv.pos + sv.length :]
+                cur = sv.pos + sv.length
             elif sv.svtype == "INS":
-                new = new[: sv.pos] + sv.ins_seq + new[sv.pos :]
+                pieces.append(sv.ins_seq)
+                cur = sv.pos
             elif sv.svtype == "INV":
-                segment = new[sv.pos : sv.pos + sv.length]
-                rc = segment.translate(str.maketrans("ACGT", "TGCA"))[::-1]
-                new = new[: sv.pos] + rc + new[sv.pos + sv.length :]
-        out[chrom] = new
+                pieces.append(_rc(seq[sv.pos : sv.pos + sv.length]))
+                cur = sv.pos + sv.length
+        pieces.append(seq[cur:])
+        out[chrom] = "".join(pieces)
     if bnds:
         out = _apply_bnd_events(out, bnds, hap)
     return out
