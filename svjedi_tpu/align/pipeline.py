@@ -1269,7 +1269,18 @@ def align_and_count(
     # extra transfer rounds for overlap of the flush with host seeding,
     # which wins whenever seeding is the critical path (PERF.md).
     if flush_every is None:
-        flush_every = 32
+        # Cap the device memory held by pending chunks: each chunk pins
+        # ~3 bytes/base x its power-of-two buffer cap (fwd+rc codes +
+        # packed words) until its flush frees them. Budget ~6 GB of the
+        # 16 GB HBM for pending inputs (panel/decoy buffers, DP metadata
+        # and result arrays share the rest) — at golden-bundle scale this
+        # still resolves to one flush per pass; a 250 Mb genome's 130 Mb
+        # chunks resolve to ~7 (23 unbounded chunks measured OOM).
+        bases_per_chunk = chunk_reads * max(
+            1, int(reads.codes.size / max(1, reads.n_reads))
+        )
+        chunk_cap = 1 << max(12, (bases_per_chunk - 1).bit_length())
+        flush_every = max(2, min(32, int(6e9 / (3 * chunk_cap))))
     pending: List[Tuple[int, ReadSet, ChunkDispatch]] = []
 
     def accumulate(start, chunk, disp, winners):
@@ -1476,9 +1487,16 @@ def align_and_count(
     # therefore the *exposed* seed wait; seed_cpu_s is the true host cost.
     from concurrent.futures import ThreadPoolExecutor
 
-    starts = list(range(0, reads.n_reads, chunk_reads))
-    chunks = [reads.slice(s, min(s + chunk_reads, reads.n_reads))
-              for s in starts]
+    # Pipeline-fill ramp: the first chunk's seed overlaps nothing (the
+    # device idles until its DP dispatches), so make it a quarter chunk.
+    starts = [0]
+    first = max(256, chunk_reads // 4)
+    nxt = first if reads.n_reads > chunk_reads else chunk_reads
+    while nxt < reads.n_reads:
+        starts.append(nxt)
+        nxt += chunk_reads
+    bounds = starts + [reads.n_reads]
+    chunks = [reads.slice(a, b) for a, b in zip(bounds[:-1], bounds[1:])]
     with ThreadPoolExecutor(max_workers=1) as seeder:
         seed_futures: Dict[int, object] = {}
         if chunks:
