@@ -177,6 +177,129 @@ const char* svt_result_name(void* handle, int64_t i) {
 void svt_result_free(void* handle) { delete static_cast<Result*>(handle); }
 
 // ---------------------------------------------------------------------------
+// Streaming reader: bounded-memory chunked reading for genome-scale inputs.
+//
+// The whole-file svt_read_sequences keeps every base resident — ~36 GB of
+// reads for a 12x human genome. The reference sidesteps this because
+// minigraph streams the FASTQ internally (svjedi-graph.py:104 just pipes
+// the path); this is the equivalent native streaming layer for our
+// in-process aligner: open once, pull up to (max_reads, max_bases) records
+// per call, each chunk a standalone Result consumed via the svt_result_*
+// accessors and freed independently. Reads-resident memory is O(chunk).
+// Chunk boundaries never split a record; concatenating all chunks is
+// byte-identical to svt_read_sequences on the same file.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Stream {
+  gzFile file = nullptr;
+  LineReader* reader = nullptr;
+  int format = 0;        // 1 = FASTQ, 2 = FASTA, 0 = empty/unknown
+  std::string pending;   // FASTQ: next header line; FASTA: next record name
+  bool has_pending = false;
+  bool bad = false;      // unrecognized leading line
+};
+
+}  // namespace
+
+// Returns an opaque Stream*, or nullptr on open failure / unrecognized
+// format (same acceptance rule as svt_read_sequences).
+void* svt_stream_open(const char* path) {
+  gzFile file = gzopen(path, "rb");
+  if (file == nullptr) return nullptr;
+  gzbuffer(file, 1 << 20);
+  auto* s = new Stream();
+  s->file = file;
+  s->reader = new LineReader(file);
+  std::string line;
+  if (!s->reader->getline(&line)) {
+    s->format = 0;  // empty file: first next() returns EOF
+    return s;
+  }
+  if (!line.empty() && line[0] == '@') {
+    s->format = 1;
+    s->pending = line;
+    s->has_pending = true;
+  } else if (!line.empty() && line[0] == '>') {
+    s->format = 2;
+    s->pending = first_token(line, 1);
+    s->has_pending = true;
+  } else {
+    delete s->reader;
+    gzclose(file);
+    delete s;
+    return nullptr;
+  }
+  return s;
+}
+
+// Reads up to max_reads records (and stops early once max_bases bases are
+// buffered; always at least one record). Returns a Result* for the
+// svt_result_* accessors, or nullptr at EOF. max_reads/max_bases <= 0
+// mean unbounded.
+void* svt_stream_next(void* handle, int64_t max_reads, int64_t max_bases) {
+  auto* s = static_cast<Stream*>(handle);
+  if (s == nullptr || !s->has_pending) return nullptr;
+  if (max_reads <= 0) max_reads = INT64_MAX;
+  if (max_bases <= 0) max_bases = INT64_MAX;
+  auto* result = new Result();
+  result->offsets.push_back(0);
+  std::string line, seq, plus, quals;
+  if (s->format == 1) {
+    while (s->has_pending && (int64_t)result->names.size() < max_reads &&
+           (int64_t)result->codes.size() < max_bases) {
+      if (s->pending.empty() || s->pending[0] != '@') {
+        s->has_pending = false;  // malformed trailer: stop, as the
+        break;                   // whole-file reader's loop does
+      }
+      if (!s->reader->getline(&seq)) {
+        s->has_pending = false;
+        break;
+      }
+      s->reader->getline(&plus);
+      s->reader->getline(&quals);
+      result->names.push_back(first_token(s->pending, 1));
+      append_encoded(seq, &result->codes);
+      result->offsets.push_back((int64_t)result->codes.size());
+      if (!s->reader->getline(&s->pending)) s->has_pending = false;
+    }
+  } else if (s->format == 2) {
+    while (s->has_pending && (int64_t)result->names.size() < max_reads &&
+           (int64_t)result->codes.size() < max_bases) {
+      std::string name = s->pending;
+      for (;;) {
+        bool more = s->reader->getline(&line);
+        if (!more || (!line.empty() && line[0] == '>')) {
+          result->names.push_back(name);
+          result->offsets.push_back((int64_t)result->codes.size());
+          if (!more) {
+            s->has_pending = false;
+          } else {
+            s->pending = first_token(line, 1);
+          }
+          break;
+        }
+        append_encoded(line, &result->codes);
+      }
+    }
+  }
+  if (result->names.empty()) {
+    delete result;
+    return nullptr;
+  }
+  return result;
+}
+
+void svt_stream_close(void* handle) {
+  auto* s = static_cast<Stream*>(handle);
+  if (s == nullptr) return;
+  delete s->reader;
+  if (s->file != nullptr) gzclose(s->file);
+  delete s;
+}
+
+// ---------------------------------------------------------------------------
 // Minimizer extraction (the host-side seeding hot loop).
 //
 // Canonical k-mer minimizers with murmur3-fmix32 hashing, identical to the
@@ -501,6 +624,28 @@ inline int64_t prof_now() {
   return std::chrono::duration_cast<std::chrono::nanoseconds>(
              std::chrono::steady_clock::now().time_since_epoch())
       .count();
+}
+
+// Print + reset the accumulators. Called at the end of EVERY svt_chain*
+// entry point (not just svt_chain5): the counters are global, so a
+// host-scan fallback path running svt_chain3/4 must drain them itself or
+// its timings would silently pollute the next svt_chain5 report.
+inline void chain_prof_report(const char* entry) {
+  if (!chain_prof_on()) return;
+  ChainProf& p = chain_prof();
+  int64_t reads = p.reads.exchange(0);
+  int64_t anchors = p.anchors.exchange(0);
+  double expand = p.expand_ns.exchange(0) / 1e9;
+  double sort = p.sort_ns.exchange(0) / 1e9;
+  double chain = p.chain_ns.exchange(0) / 1e9;
+  double blocks = p.blocks_ns.exchange(0) / 1e9;
+  if (reads == 0 && anchors == 0) return;
+  fprintf(stderr,
+          "[chain_prof] %s reads=%lld anchors=%lld expand=%.3fs "
+          "sort=%.3fs chain=%.3fs blocks=%.3fs (cpu-s, summed over "
+          "threads)\n",
+          entry, (long long)reads, (long long)anchors, expand, sort, chain,
+          blocks);
 }
 
 // Reusable per-thread scratch for chain_one_read (avoids reallocation).
@@ -987,6 +1132,7 @@ void* svt_chain3(const int8_t* codes, int64_t n_bases,
   if (T == 1) {
     chain_reads(codes, offsets, 0, n_reads, k, w, bitmap, bitmap_mask, idx,
                 cp, result, panel_path_limit);
+    chain_prof_report("chain3");
     return result;
   }
   const int64_t total = offsets[n_reads] - offsets[0];
@@ -1008,6 +1154,7 @@ void* svt_chain3(const int8_t* codes, int64_t n_bases,
     });
   }
   for (auto& th : threads) th.join();
+  chain_prof_report("chain3");
   size_t n = 0;
   for (const auto& p : parts) n += p.read.size();
   result->read.reserve(n);
@@ -1069,6 +1216,7 @@ void* svt_chain4(const int64_t* offsets, int64_t n_reads, int64_t n_mins,
   if (T == 1) {
     chain_mins_range(offsets, m_read, m_pos, m_hash, m_strand, 0, n_mins, k,
                      idx, cp, result, panel_path_limit);
+    chain_prof_report("chain4");
     return result;
   }
   // Range bounds: equal minimizer shares, snapped forward to the next
@@ -1091,6 +1239,7 @@ void* svt_chain4(const int64_t* offsets, int64_t n_reads, int64_t n_mins,
     });
   }
   for (auto& th : threads) th.join();
+  chain_prof_report("chain4");
   size_t n = 0;
   for (const auto& p : parts) n += p.read.size();
   result->read.reserve(n);
@@ -1159,6 +1308,7 @@ void* svt_chain5(const int8_t* codes, int64_t n_bases,
   if (T == 1) {
     chain_bits_range(codes, offsets, 0, n_reads, k, w, emit_bits, bitmap,
                      bitmap_mask, idx, cp, result, panel_path_limit);
+    chain_prof_report("chain5");
     return result;
   }
   const int64_t total = offsets[n_reads] - offsets[0];
@@ -1181,16 +1331,7 @@ void* svt_chain5(const int8_t* codes, int64_t n_bases,
     });
   }
   for (auto& th : threads) th.join();
-  if (chain_prof_on()) {
-    ChainProf& p = chain_prof();
-    fprintf(stderr,
-            "[chain_prof] reads=%lld anchors=%lld expand=%.3fs sort=%.3fs "
-            "chain=%.3fs blocks=%.3fs (cpu-s, summed over threads)\n",
-            (long long)p.reads.exchange(0),
-            (long long)p.anchors.exchange(0),
-            p.expand_ns.exchange(0) / 1e9, p.sort_ns.exchange(0) / 1e9,
-            p.chain_ns.exchange(0) / 1e9, p.blocks_ns.exchange(0) / 1e9);
-  }
+  chain_prof_report("chain5");
   size_t n = 0;
   for (const auto& p : parts) n += p.read.size();
   result->read.reserve(n);

@@ -163,6 +163,10 @@ def _scan_cap(n_codes: int, n_cap: int) -> int:
     return n_cap
 
 
+#: One-time note when the async-d2h hint fails for an unexpected reason.
+_ASYNC_WARNED = False
+
+
 def dispatch_scan(device_data, k: int, w: int) -> jnp.ndarray:
     """Enqueue the scan for an uploaded chunk; returns the device bitmask.
 
@@ -182,8 +186,22 @@ def dispatch_scan(device_data, k: int, w: int) -> jnp.ndarray:
     )
     try:
         out.copy_to_host_async()
-    except (AttributeError, NotImplementedError):
-        pass  # backend lacks async d2h: fetch does a synchronous transfer
+    except Exception as exc:  # noqa: BLE001 - the call is purely a hint
+        # Any failure here (missing API on this backend, a transient
+        # transfer error, ...) must degrade to a synchronous fetch, never
+        # abort the run: fetch_bitmask does the real transfer either way.
+        global _ASYNC_WARNED
+        if not _ASYNC_WARNED and not isinstance(
+            exc, (AttributeError, NotImplementedError)
+        ):
+            import sys
+
+            print(
+                f"[dev_scan] note: async d2h hint failed ({exc!r}); "
+                "falling back to synchronous fetches",
+                file=sys.stderr,
+            )
+            _ASYNC_WARNED = True
     return out
 
 

@@ -1202,6 +1202,39 @@ def _audit_line(panel: Panel, w: Winners, reads: ReadSet, i: int) -> str:
     ) + "\t"
 
 
+def _hbm_bytes(cfg: AlignConfig) -> int:
+    """Device HBM size for memory budgeting.
+
+    ``AlignConfig.hbm_bytes`` wins when set; otherwise the default
+    device's ``memory_stats()['bytes_limit']`` is queried, falling back to
+    16 GiB (the v5e these budgets were measured on) when the backend
+    reports nothing (CPU meshes, interpret mode).
+    """
+    if cfg.hbm_bytes > 0:
+        return cfg.hbm_bytes
+    try:
+        import jax
+
+        stats = jax.devices()[0].memory_stats()
+        limit = int((stats or {}).get("bytes_limit", 0))
+        if limit > 0:
+            return limit
+    except Exception:
+        pass
+    return 16 << 30
+
+
+def _chunk_device_bytes(n_bases: int) -> int:
+    """Device bytes one chunk's input buffers pin until flushed.
+
+    dev.upload rounds the chunk to a power-of-two buffer class (compile
+    stability) and holds fwd+rc codes plus the 2-bit packed words —
+    ~3 bytes per buffered base.
+    """
+    cap = 1 << max(12, (max(1, n_bases) - 1).bit_length())
+    return 3 * cap
+
+
 def align_and_count(
     reads: ReadSet,
     panel: Panel,
@@ -1246,6 +1279,9 @@ def align_and_count(
     panel_caches: List[Dict] = [
         {} for _ in range(max(1, len(devices or [])))
     ]
+    from ..config import resolve_min_count_density
+
+    _min_density = resolve_min_count_density(genotype_cfg, align_cfg)
 
     # One minimizer scan serves panel AND decoy seeding: the merged index
     # carries decoy chromosome "paths" after the panel paths, and the rows
@@ -1268,20 +1304,21 @@ def align_and_count(
     # seeder thread still has later chunks in flight: a small value trades
     # extra transfer rounds for overlap of the flush with host seeding,
     # which wins whenever seeding is the critical path (PERF.md).
+    # Cap the device memory held by pending chunks: each chunk pins
+    # ~3 bytes/base x its power-of-two buffer cap (fwd+rc codes + packed
+    # words) until its flush frees them. The budget is a fraction of HBM
+    # (AlignConfig.hbm_bytes / pending_input_frac; panel/decoy buffers, DP
+    # metadata and result arrays share the rest) and is charged per chunk
+    # from the chunk's ACTUAL base count — a mean-length estimate under a
+    # skewed length distribution lets a few very long reads blow past the
+    # budget (ADVICE r4). At golden-bundle scale this still resolves to one
+    # flush per pass; a 250 Mb genome's 130 Mb chunks flush every ~7 (23
+    # unbounded chunks measured OOM on the 16 GB chip).
+    pending_budget = int(_hbm_bytes(align_cfg) * align_cfg.pending_input_frac)
     if flush_every is None:
-        # Cap the device memory held by pending chunks: each chunk pins
-        # ~3 bytes/base x its power-of-two buffer cap (fwd+rc codes +
-        # packed words) until its flush frees them. Budget ~6 GB of the
-        # 16 GB HBM for pending inputs (panel/decoy buffers, DP metadata
-        # and result arrays share the rest) — at golden-bundle scale this
-        # still resolves to one flush per pass; a 250 Mb genome's 130 Mb
-        # chunks resolve to ~7 (23 unbounded chunks measured OOM).
-        bases_per_chunk = chunk_reads * max(
-            1, int(reads.codes.size / max(1, reads.n_reads))
-        )
-        chunk_cap = 1 << max(12, (bases_per_chunk - 1).bit_length())
-        flush_every = max(2, min(32, int(6e9 / (3 * chunk_cap))))
+        flush_every = 32  # count backstop; the byte budget is the bound
     pending: List[Tuple[int, ReadSet, ChunkDispatch]] = []
+    pending_bytes = [0]  # list: mutated by the nested chunk loop
 
     def accumulate(start, chunk, disp, winners):
         winners = prune_secondaries(winners, chunk, align_cfg)
@@ -1290,7 +1327,7 @@ def align_and_count(
             compute_winner_stats(chunk, panel, winners, align_cfg)
         chunk_counts, chunk_audit = count_support(
             panel, winners, chunk, genotype_cfg.d_over, collect_audit,
-            min_density=genotype_cfg.min_count_density,
+            min_density=_min_density,
         )
         for tag, pair in chunk_counts.items():
             entry = counts.setdefault(tag, [0, 0])
@@ -1523,8 +1560,10 @@ def align_and_count(
             )
             t2 = time.perf_counter()
             pending.append((start, chunk, disp))
-            if len(pending) >= flush_every:
+            pending_bytes[0] += _chunk_device_bytes(chunk.codes.size)
+            if len(pending) >= flush_every or pending_bytes[0] > pending_budget:
                 flush()
+                pending_bytes[0] = 0
 
             if timings is not None:
                 timings["seed_s"] += t1 - t0

@@ -88,6 +88,17 @@ class AlignConfig:
     #: hardware threads, matching minigraph's ``-t`` at svjedi-graph.py:104).
     threads: int = 0
 
+    # Device-memory budgeting (align/pipeline.py pending-chunk flush cap).
+    #: Device HBM bytes. 0 = query the device's ``memory_stats()`` at run
+    #: time, falling back to 16 GiB (the v5e this was tuned on) when the
+    #: backend reports none.
+    hbm_bytes: int = 0
+    #: Fraction of HBM budgeted for pending chunk *input* buffers (fwd+rc
+    #: read codes + packed words held until their flush); panel/decoy
+    #: buffers, DP metadata and result arrays share the rest. 6 GB of a
+    #: 16 GB v5e measured safe at the 250 Mb scale config (PERF.md).
+    pending_input_frac: float = 0.375
+
 
 @dataclasses.dataclass(frozen=True)
 class GenotypeConfig:
@@ -110,7 +121,52 @@ class GenotypeConfig:
     #: table — cutting them removes over-counts only, verified zero
     #: under-counts vs the golden bundle). 0 disables. Not applied in
     #: the external-GAF path (reference filter semantics are exact).
+    #: CALIBRATION DOMAIN: the 1.1 default is a fraction (0.55) of the
+    #: default match=+2 DP score, validated on the golden bundle's ~10%
+    #: simulated error; pipelines resolve the effective threshold through
+    #: :func:`resolve_min_count_density`, which scales it with
+    #: ``AlignConfig.match`` so a rescored aligner keeps the same
+    #: *relative* gate instead of silently over- or under-gating.
     min_count_density: float = 1.1
+
+
+#: Match score the ``min_count_density`` default was calibrated against
+#: (PARITY.md's experiment table; golden bundle, ~10% simulated error).
+DENSITY_CALIBRATED_MATCH = 2
+
+_density_scale_warned = False
+
+
+def resolve_min_count_density(
+    genotype: "GenotypeConfig", align: "AlignConfig"
+) -> float:
+    """Effective count-density threshold, coupled to the DP match score.
+
+    The density gate measures score per target base, so its meaning is a
+    fraction of ``AlignConfig.match`` (1.1 == 0.55 x match=2). A pipeline
+    run with a different match score keeps the same fraction — applying the
+    absolute 1.1 under e.g. match=1 scoring would silently drop genuine SV
+    support (ADVICE r4). Scaling is announced once on stderr.
+    """
+    d = genotype.min_count_density
+    if d <= 0:
+        return 0.0
+    if align.match == DENSITY_CALIBRATED_MATCH:
+        return d
+    scaled = d * align.match / DENSITY_CALIBRATED_MATCH
+    global _density_scale_warned
+    if not _density_scale_warned:
+        import sys
+
+        print(
+            f"[config] note: min_count_density={d} is calibrated for "
+            f"match=+{DENSITY_CALIBRATED_MATCH} scoring; with "
+            f"match=+{align.match} the effective gate scales to "
+            f"{scaled:.3f} (same fraction of the match score)",
+            file=sys.stderr,
+        )
+        _density_scale_warned = True
+    return scaled
 
 
 @dataclasses.dataclass(frozen=True)

@@ -253,9 +253,13 @@ def run_pipeline(cfg: PipelineConfig) -> Dict:
         with stats.timer("mesh_count"):
             mesh = make_mesh(data_shards=d, graph_shards=g,
                              devices=jax.devices()[: d * g])
+            from .config import resolve_min_count_density
+
             counts = mesh_count_support(
                 panel, winners, mesh, d_over=cfg.genotype.d_over,
-                min_density=cfg.genotype.min_count_density,
+                min_density=resolve_min_count_density(
+                    cfg.genotype, cfg.align
+                ),
             )
         stats.set("mesh", f"{d}x{g}")
     if cfg.write_gaf:
