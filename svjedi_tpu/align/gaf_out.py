@@ -29,10 +29,11 @@ def winners_to_gaf(
 ) -> Iterator[str]:
     """Yield one GAF line per winning alignment."""
     graph = panel.graph
+    lengths = reads.lengths  # property: materialize once, not per winner
     for i in range(len(winners.read)):
         path = panel.paths[int(winners.path[i])]
         read_id = int(winners.read[i])
-        rlen = int(reads.lengths[read_id])
+        rlen = int(lengths[read_id])
         strand = int(winners.strand[i])
         qs, qe = int(winners.qs[i]), int(winners.qe[i])
         if strand:

@@ -1456,7 +1456,7 @@ def align_and_count(
     scan_outs: Dict[int, object] = {}
     device_datas: Dict[int, object] = {}
 
-    def prep_chunk(ci: int):
+    def prep_chunk(ci: int, chunk: ReadSet):
         """Upload chunk ci (+boundary table) and enqueue its device scan.
 
         Runs on the main thread (all device interaction stays here); the
@@ -1465,7 +1465,6 @@ def align_and_count(
         """
         from . import dev_scan
 
-        chunk = chunks[ci]
         di = ci % len(devices) if devices else 0
         device = devices[di] if devices else None
         dd = dev.upload(
@@ -1526,30 +1525,60 @@ def align_and_count(
 
     # Pipeline-fill ramp: the first chunk's seed overlaps nothing (the
     # device idles until its DP dispatches), so make it a quarter chunk.
-    starts = [0]
+    # ``reads`` may be an eager ReadSet (chunks are zero-copy slices) or a
+    # lazy io.fastq.ReadStream (chunks are pulled from disk as consumed —
+    # the Gb-genome path; identical chunk boundaries, so the two modes are
+    # byte-identical end to end).
     first = max(256, chunk_reads // 4)
-    nxt = first if reads.n_reads > chunk_reads else chunk_reads
-    while nxt < reads.n_reads:
-        starts.append(nxt)
-        nxt += chunk_reads
-    bounds = starts + [reads.n_reads]
-    chunks = [reads.slice(a, b) for a, b in zip(bounds[:-1], bounds[1:])]
+    if isinstance(reads, ReadSet):
+
+        def _chunk_iter():
+            starts = [0]
+            nxt = first if reads.n_reads > chunk_reads else chunk_reads
+            while nxt < reads.n_reads:
+                starts.append(nxt)
+                nxt += chunk_reads
+            bounds = starts + [reads.n_reads]
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                yield a, reads.slice(a, b)
+
+        chunk_iter = _chunk_iter()
+    else:
+
+        def _stream_iter():
+            start = 0
+            for chunk in reads.chunks(chunk_reads, first=first):
+                yield start, chunk
+                start += chunk.n_reads
+
+        chunk_iter = _stream_iter()
+
     with ThreadPoolExecutor(max_workers=1) as seeder:
         seed_futures: Dict[int, object] = {}
-        if chunks:
-            prep_chunk(0)
-            seed_futures[0] = seeder.submit(
-                seed_chunk, chunks[0], scan_outs.pop(0, None)
+        chunk_map: Dict[int, Tuple[int, ReadSet]] = {}
+
+        def pull(ci: int) -> bool:
+            """Pull chunk ci, upload it + enqueue its device scan, and
+            submit its seed — the lookahead that overlaps the next chunk's
+            scan/seed with this chunk's device DP."""
+            item = next(chunk_iter, None)
+            if item is None:
+                return False
+            chunk_map[ci] = item
+            prep_chunk(ci, item[1])
+            seed_futures[ci] = seeder.submit(
+                seed_chunk, item[1], scan_outs.pop(ci, None)
             )
-        for ci, (start, chunk) in enumerate(zip(starts, chunks)):
+            return True
+
+        pull(0)
+        ci = 0
+        while ci in chunk_map:
             # Enqueue the NEXT chunk's upload + device scan AND submit its
             # seed before blocking on this chunk's: the scan executes
             # during the wait and the two seeds' device/CPU phases overlap.
-            if ci + 1 < len(chunks):
-                prep_chunk(ci + 1)
-                seed_futures[ci + 1] = seeder.submit(
-                    seed_chunk, chunks[ci + 1], scan_outs.pop(ci + 1, None)
-                )
+            pull(ci + 1)
+            start, chunk = chunk_map.pop(ci)
             t0 = time.perf_counter()
             cands, seed_cpu = seed_futures.pop(ci).result()
             t1 = time.perf_counter()
@@ -1572,6 +1601,7 @@ def align_and_count(
                 )
                 timings["dp_s"] += t2 - t1
                 timings["n_candidates"] += len(cands)
+            ci += 1
         flush()
 
     if winner_parts:

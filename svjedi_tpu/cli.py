@@ -67,6 +67,12 @@ def _add_run(sub):
              "shard reads by process index, allreduce counts over the "
              "fabric, genotype on process 0 (no shared filesystem needed)",
     )
+    p.add_argument(
+        "--no-stream", action="store_true",
+        help="load all reads resident instead of streaming them from disk "
+             "in O(chunk) memory (streaming is the default and "
+             "byte-identical; shard/multihost modes always load resident)",
+    )
     p.add_argument("--profile-dir", default=None,
                    help="capture a JAX profiler trace into this directory")
     p.add_argument(
@@ -170,6 +176,7 @@ def main(argv=None) -> int:
             ),
             multihost=args.multihost,
             shard=shard,
+            stream_reads=False if args.no_stream else None,
             keep_artifacts=not args.no_artifacts,
             resume=args.resume,
             write_gaf=args.gaf,

@@ -208,6 +208,12 @@ class PipelineConfig:
     #: shared filesystem needed, unlike ``shard``/``merge``.
     multihost: bool = False
 
+    #: Stream reads from disk in O(chunk) memory (io.fastq.ReadStream, the
+    #: Gb-genome loader) instead of loading them resident. None = auto:
+    #: stream except in shard/multihost modes (which slice the read set by
+    #: global index and therefore need it resident up front). Streamed and
+    #: eager runs are byte-identical (tests/test_stream.py).
+    stream_reads: Optional[bool] = None
     #: Preserve stage artifacts (gfa / edges json / informative-aln json) so
     #: stages are independently re-runnable (SURVEY §5.4 de-facto resume).
     keep_artifacts: bool = True

@@ -174,22 +174,44 @@ def run_pipeline(cfg: PipelineConfig) -> Dict:
                 max_hits_per_minimizer=cfg.align.max_hits_per_minimizer,
             )
 
-    with stats.timer("load_reads"):
-        reads = read_reads(cfg.reads)
-        if cfg.multihost:
-            from .dist.multihost import process_read_block
+    # Read loading: streamed (O(chunk) resident — the Gb-genome mode) or
+    # eager. Shard/multihost modes slice the read set by global index and
+    # need it resident, so they always load eagerly.
+    stream_mode = cfg.stream_reads
+    if cfg.multihost or cfg.shard is not None:
+        if stream_mode:
+            import sys as _sys
 
-            lo, hi = process_read_block(reads.n_reads)
-            reads = reads.slice(lo, hi)
-            stats.set("process_block", f"[{lo},{hi})")
-        elif cfg.shard is not None:
-            i, n = cfg.shard
-            lo = reads.n_reads * i // n
-            hi = reads.n_reads * (i + 1) // n
-            reads = reads.slice(lo, hi)
-            stats.set("shard", f"{i}/{n}")
-    stats.set("n_reads", reads.n_reads)
-    stats.set("read_bases", int(reads.lengths.sum()))
+            print(
+                "[pipeline] note: --shard/--multihost need the full read "
+                "set resident; streaming disabled for this run",
+                file=_sys.stderr,
+            )
+        stream_mode = False
+    elif stream_mode is None:
+        stream_mode = True
+    if stream_mode:
+        from .io.fastq import ReadStream
+
+        reads = ReadStream(cfg.reads)
+        stats.set("read_loader", "stream")
+    else:
+        with stats.timer("load_reads"):
+            reads = read_reads(cfg.reads)
+            if cfg.multihost:
+                from .dist.multihost import process_read_block
+
+                lo, hi = process_read_block(reads.n_reads)
+                reads = reads.slice(lo, hi)
+                stats.set("process_block", f"[{lo},{hi})")
+            elif cfg.shard is not None:
+                i, n = cfg.shard
+                lo = reads.n_reads * i // n
+                hi = reads.n_reads * (i + 1) // n
+                reads = reads.slice(lo, hi)
+                stats.set("shard", f"{i}/{n}")
+        stats.set("n_reads", reads.n_reads)
+        stats.set("read_bases", int(reads.lengths.sum()))
 
     # Single-host multi-chip data parallelism (DistConfig.data_shards):
     # read chunks round-robin over the first N local devices, panel
@@ -205,9 +227,10 @@ def run_pipeline(cfg: PipelineConfig) -> Dict:
         n_dev = min(cfg.dist.data_shards, len(devs))
         if n_dev > 1:
             devices = devs[:n_dev]
-            chunk_reads = min(
-                chunk_reads, max(512, -(-reads.n_reads // n_dev))
-            )
+            if not stream_mode:  # stream: count unknown until consumed
+                chunk_reads = min(
+                    chunk_reads, max(512, -(-reads.n_reads // n_dev))
+                )
             stats.set("data_shards", n_dev)
 
     profiling = cfg.profile_dir is not None
@@ -224,6 +247,10 @@ def run_pipeline(cfg: PipelineConfig) -> Dict:
         import jax
 
         jax.profiler.stop_trace()
+    if stream_mode:
+        # Counts known only after the stream has been consumed.
+        stats.set("n_reads", reads.n_reads)
+        stats.set("read_bases", int(reads.total_bases))
     stats.set("n_winning_alignments", int(len(winners.read)))
     if winners.rescore_flag is not None:
         # Winners whose audit re-score fell below the chain score by more

@@ -171,6 +171,15 @@ class _NativeIO:
         lib.svt_result_name.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.svt_result_free.restype = None
         lib.svt_result_free.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "svt_stream_open"):
+            lib.svt_stream_open.restype = ctypes.c_void_p
+            lib.svt_stream_open.argtypes = [ctypes.c_char_p]
+            lib.svt_stream_next.restype = ctypes.c_void_p
+            lib.svt_stream_next.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ]
+            lib.svt_stream_close.restype = None
+            lib.svt_stream_close.argtypes = [ctypes.c_void_p]
 
     def minimizers(
         self,
@@ -613,6 +622,42 @@ class _NativeIO:
             return names, codes, offsets
         finally:
             self._lib.svt_result_free(handle)
+
+    # -- streaming reader (bounded-memory chunked reads) --
+
+    def stream_open(self, path: str) -> Optional[int]:
+        """Open a FASTQ/FASTA(.gz) stream; None if unsupported/unopenable."""
+        if not hasattr(self._lib, "svt_stream_open"):
+            return None
+        handle = self._lib.svt_stream_open(path.encode())
+        return handle or None
+
+    def stream_next(
+        self, handle: int, max_reads: int, max_bases: int = 0
+    ) -> Optional[Tuple[List[str], np.ndarray, np.ndarray]]:
+        """Next chunk of up to max_reads records (None at EOF)."""
+        res = self._lib.svt_stream_next(handle, max_reads, max_bases)
+        if not res:
+            return None
+        try:
+            n = self._lib.svt_result_n_reads(res)
+            total = self._lib.svt_result_total_bases(res)
+            codes = np.empty(total, dtype=np.int8)
+            offsets = np.empty(n + 1, dtype=np.int64)
+            self._lib.svt_result_copy(
+                res,
+                codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            names = [
+                self._lib.svt_result_name(res, i).decode() for i in range(n)
+            ]
+            return names, codes, offsets
+        finally:
+            self._lib.svt_result_free(res)
+
+    def stream_close(self, handle: int) -> None:
+        self._lib.svt_stream_close(handle)
 
 
 def load_native() -> Optional[_NativeIO]:
