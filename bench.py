@@ -61,6 +61,8 @@ def _scale_bench() -> int:
     Size knobs (defaults = the 10 Mb config): SVJT_SCALE_MB genome
     megabases, SVJT_SCALE_SVS SV count, SVJT_SCALE_COV read coverage.
     """
+    import resource
+
     import numpy as np
 
     from svjedi_tpu.align.index import build_panel_index
@@ -70,9 +72,20 @@ def _scale_bench() -> int:
     from svjedi_tpu.graph.cluster import build_panel
     from svjedi_tpu.graph.svparse import parse_vcf_svs
     from svjedi_tpu.io import sim
-    from svjedi_tpu.io.fastq import ReadSet
+    from svjedi_tpu.io.fastq import ReadStream
 
     import tempfile
+
+    def rss_gb() -> float:
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+
+    def cur_rss_gb() -> float:
+        """Current (not peak) resident set, GB."""
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 1e6
+        return 0.0
 
     mb = int(os.environ.get("SVJT_SCALE_MB", "10"))
     n_svs = int(os.environ.get("SVJT_SCALE_SVS", "1000"))
@@ -81,18 +94,18 @@ def _scale_bench() -> int:
     s = sim.simulate(
         seed=2, chrom_lengths={"chr1": mb * 1_000_000}, n_svs=n_svs
     )
-    names, seqs = sim.simulate_reads(rng, s.haplotypes, coverage=cov)
-    lut = np.full(256, 4, np.int8)
-    for b, v in zip(b"ACGT", range(4)):
-        lut[b] = v
-    codes = lut[np.frombuffer("".join(seqs).encode(), dtype=np.uint8)]
-    offsets = np.concatenate(
-        [[0], np.cumsum([len(x) for x in seqs])]
-    ).astype(np.int64)
-    reads = ReadSet(names=names, codes=codes, offsets=offsets)
     cfg = AlignConfig()
     gcfg = GenotypeConfig()
     with tempfile.TemporaryDirectory() as tmp:
+        # Reads stream to disk as generated and stream back during
+        # alignment (io.fastq.ReadStream): reads-resident memory is
+        # O(chunk) — the whole point of the Gb-genome path. The old
+        # in-memory form held coverage x genome of codes (83 MB RSS per
+        # genome-Mb, PERF.md scale table).
+        reads_path = os.path.join(tmp, "reads.fastq")
+        n_reads, n_bases = sim.simulate_reads_fastq(
+            rng, s.haplotypes, coverage=cov, path=reads_path
+        )
         vcf = os.path.join(tmp, "t.vcf")
         sim.write_truth_vcf(s, vcf)
         parsed = parse_vcf_svs(vcf, {c: len(x) for c, x in s.chroms.items()})
@@ -106,8 +119,17 @@ def _scale_bench() -> int:
             max_hits_per_minimizer=cfg.max_hits_per_minimizer,
         )
         decoy = _build_decoy(panel, cfg)
+        # Drop the simulation's own big strings before aligning so peak
+        # RSS reflects the pipeline, not the generator (the haplotypes
+        # are already on disk as reads; the graph holds the reference).
+        s = None
+        import gc
+
+        gc.collect()
+        pre_align_resident_gb = cur_rss_gb()
         counts, _, _ = align_and_count(
-            reads, panel, index, cfg, gcfg, collect_audit=False, decoy=decoy
+            ReadStream(reads_path), panel, index, cfg, gcfg,
+            collect_audit=False, decoy=decoy,
         )  # warm + correctness input
         from svjedi_tpu.evals.contingency import contingency_report
         from svjedi_tpu.genotype.vcf_writer import write_genotyped_vcf
@@ -115,46 +137,47 @@ def _scale_bench() -> int:
         out_vcf = os.path.join(tmp, "g.vcf")
         write_genotyped_vcf(vcf, out_vcf, counts)
         report = contingency_report(vcf, out_vcf)
-    # The default 10 Mb/1000 SV/20x config genotypes 1000/1000 (gate
-    # 100.0). Larger/lower-coverage configs hit the data's own ceiling:
-    # at 12x, ~0.3% of het SVs have zero spanning reads from one haplotype
-    # (verified read-by-read for the 50 Mb config's misses, PERF.md), so
-    # the gate is tunable for those runs.
-    min_acc = float(os.environ.get("SVJT_SCALE_MIN_ACC", "100.0"))
-    import re as _re
+        # The default 10 Mb/1000 SV/20x config genotypes 1000/1000 (gate
+        # 100.0). Larger/lower-coverage configs hit the data's own ceiling:
+        # at 12x, ~0.3% of het SVs have zero spanning reads from one
+        # haplotype (verified read-by-read for the 50 Mb config's misses,
+        # PERF.md), so the gate is tunable for those runs.
+        min_acc = float(os.environ.get("SVJT_SCALE_MIN_ACC", "100.0"))
+        import re as _re
 
-    acc_m = _re.search(r"accuracy: ([\d.]+)", report)
-    if acc_m is None or float(acc_m.group(1)) < min_acc:
-        print(json.dumps({
-            "metric": "scale_reads_per_s_per_chip", "value": 0.0,
-            "unit": "reads/s", "vs_baseline": 0.0,
-            "error": "scale accuracy check failed",
-        }))
-        return 1
-    t0 = time.perf_counter()
-    align_and_count(
-        reads, panel, index, cfg, gcfg, collect_audit=False, decoy=decoy
-    )
-    dt = time.perf_counter() - t0
+        acc_m = _re.search(r"accuracy: ([\d.]+)", report)
+        if acc_m is None or float(acc_m.group(1)) < min_acc:
+            print(json.dumps({
+                "metric": "scale_reads_per_s_per_chip", "value": 0.0,
+                "unit": "reads/s", "vs_baseline": 0.0,
+                "error": "scale accuracy check failed",
+            }))
+            return 1
+        stream = ReadStream(reads_path)
+        t0 = time.perf_counter()
+        align_and_count(
+            stream, panel, index, cfg, gcfg, collect_audit=False,
+            decoy=decoy,
+        )
+        dt = time.perf_counter() - t0
     # Memory/size profile for PERF.md's scale table (stderr, not the
     # driver's JSON line).
-    import resource
-
-    peak_rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     print(
         f"[scale] genome={mb}Mb svs={n_svs} cov={cov} "
-        f"reads={reads.n_reads} read_bases={int(reads.codes.size/1e6)}Mb "
+        f"reads={n_reads} read_bases={int(n_bases/1e6)}Mb "
         f"panel_paths={len(panel.paths)} "
         f"panel_bases={sum(p.length for p in panel.paths)/1e6:.1f}Mb "
         f"decoy_hits={len(decoy.index.hit_path) if decoy else 0} "
-        f"align_s={dt:.1f} peak_host_rss_gb={peak_rss_gb:.1f}",
+        f"align_s={dt:.1f} peak_host_rss_gb={rss_gb():.1f} "
+        f"pre_align_resident_gb={pre_align_resident_gb:.1f} "
+        f"post_align_resident_gb={cur_rss_gb():.1f}",
         file=sys.stderr,
     )
     print(json.dumps({
         "metric": "scale_reads_per_s_per_chip",
-        "value": round(reads.n_reads / dt, 2),
+        "value": round(n_reads / dt, 2),
         "unit": "reads/s",
-        "vs_baseline": round(reads.n_reads / dt / BASELINE_READS_PER_S, 3),
+        "vs_baseline": round(n_reads / dt / BASELINE_READS_PER_S, 3),
     }))
     return 0
 

@@ -315,7 +315,7 @@ def write_truth_vcf(sim: Simulation, path) -> None:
             )
 
 
-def simulate_reads(
+def iter_reads(
     rng: np.random.Generator,
     haplotypes: Tuple[Dict[str, str], Dict[str, str]],
     coverage: float,
@@ -325,14 +325,17 @@ def simulate_reads(
     sub_rate: float = 0.04,
     ins_rate: float = 0.03,
     del_rate: float = 0.03,
-) -> Tuple[List[str], List[str]]:
-    """Sample noisy reads uniformly over both haplotypes.
+):
+    """Yield noisy (name, sequence) reads uniformly over both haplotypes.
 
-    Returns (names, sequences) as ASCII strings.
+    Generator form so genome-scale benches can stream reads straight to a
+    FASTQ on disk (``simulate_reads_fastq``) instead of holding 10s of GB
+    of read strings resident; ``simulate_reads`` collects it for the
+    in-memory callers. Identical sampling order either way (same rng
+    consumption), so the two forms produce the same reads.
     """
     totals = [sum(len(s) for s in hap.values()) for hap in haplotypes]
     n_bases = int(coverage * sum(totals) / 2)
-    names, seqs = [], []
     generated = 0
     i = 0
     trans = np.frombuffer(b"ACGT", dtype=np.uint8)
@@ -373,11 +376,45 @@ def simulate_reads(
         read = out.tobytes().decode()
         if rng.random() < 0.5:
             read = read.translate(str.maketrans("ACGT", "TGCA"))[::-1]
-        names.append(f"sim_read_{i}_hap{hap_i}_{chrom}_{start}")
-        seqs.append(read)
+        yield f"sim_read_{i}_hap{hap_i}_{chrom}_{start}", read
         generated += len(read)
         i += 1
+
+
+def simulate_reads(
+    rng: np.random.Generator,
+    haplotypes: Tuple[Dict[str, str], Dict[str, str]],
+    coverage: float,
+    **kw,
+) -> Tuple[List[str], List[str]]:
+    """Sample noisy reads; returns (names, sequences) as ASCII strings."""
+    names, seqs = [], []
+    for name, seq in iter_reads(rng, haplotypes, coverage, **kw):
+        names.append(name)
+        seqs.append(seq)
     return names, seqs
+
+
+def simulate_reads_fastq(
+    rng: np.random.Generator,
+    haplotypes: Tuple[Dict[str, str], Dict[str, str]],
+    coverage: float,
+    path,
+    **kw,
+) -> Tuple[int, int]:
+    """Stream simulated reads straight to a FASTQ file on disk.
+
+    The genome-scale form: read strings never accumulate in memory, so a
+    1 Gb x 12x simulation costs disk, not RSS. Returns (n_reads, n_bases).
+    """
+    n_reads = 0
+    n_bases = 0
+    with open(path, "w") as fh:
+        for name, seq in iter_reads(rng, haplotypes, coverage, **kw):
+            fh.write(f"@{name}\n{seq}\n+\n{'I' * len(seq)}\n")
+            n_reads += 1
+            n_bases += len(seq)
+    return n_reads, n_bases
 
 
 def write_fastq(path, names: List[str], seqs: List[str]) -> None:
