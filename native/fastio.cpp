@@ -545,6 +545,13 @@ struct SeedResult {
   std::vector<int32_t> q_hi;
   std::vector<int32_t> a_lo;  // chain anchor extent (oriented read coords)
   std::vector<int32_t> a_hi;
+  //: head-anchor diagonal per row: with a_lo (the head-anchor rpos) this
+  //: keys the chain's CREATION ORDER inside its (read, path, strand)
+  //: group — anchors are processed in ascending (rpos, diag), so chains
+  //: are created in ascending (head rpos, head diag). The sharded-decoy
+  //: union (dist/decoy_shard.py) needs it to re-apply the global
+  //: max_chains truncation with the exact stable tie-break.
+  std::vector<int32_t> head_diag;
 };
 
 // Open-addressing exact-hash table over the index's unique minimizer
@@ -580,6 +587,12 @@ struct SeedIndex {
   const int32_t* hit_pos;
   const int8_t* hit_strand;
   const HashLookup* lut = nullptr;  // optional exact-lookup accelerator
+  //: optional interleaved hit stream: (path << 33) | (strand << 32) | pos.
+  //: The expand phase walks hit lists at random offsets; three parallel
+  //: arrays cost three cache-miss streams per list, one packed array costs
+  //: one — at genome scale expand is the seed bottleneck and is
+  //: MEMORY-bound, not compute-bound (PERF.md "anchor-volume-bound").
+  const uint64_t* hit_packed = nullptr;
 };
 
 struct ChainParams {
@@ -672,6 +685,7 @@ struct ChainScratch {
   std::vector<size_t> kept;
   std::vector<int64_t> d0s;
   std::vector<int64_t> med;
+  std::vector<int64_t> umap;  // per-minimizer resolved uniq-hash index
 };
 
 // Anchors -> chains -> blocks for ONE read given its minimizers (pos local
@@ -745,38 +759,89 @@ void chain_one_read(int64_t r, int64_t rlen, const int32_t* mpos,
     return (int32_t)(bkeys.size() - 1);
   };
   constexpr int64_t kDiagBias = INT64_C(0x80000000);
+  constexpr int64_t kPF = 8;  // software-prefetch lookahead
 
-  for (int64_t i = 0; i < nm; ++i) {
-    const uint32_t h = mhash[i];
-    int64_t u = -1;
-    if (idx.lut != nullptr) {
-      uint64_t si = h & idx.lut->mask;
-      for (uint64_t slot; (slot = idx.lut->slots[si]) != 0;
-           si = (si + 1) & idx.lut->mask) {
+  // Two-pass expand: pass 1 resolves every minimizer's uniq-hash slot
+  // with the NEXT probes prefetched; pass 2 walks the hit lists with the
+  // NEXT lists prefetched. The expand phase is memory-latency-bound at
+  // genome scale (~250 ns/anchor measured, PERF.md) — the lists live at
+  // random offsets in a multi-GB table, so the win is hiding the misses,
+  // not saving instructions.
+  std::vector<int64_t>& umap = cs.umap;
+  umap.resize(nm);
+  if (idx.lut != nullptr) {
+    const uint64_t mask = idx.lut->mask;
+    const uint64_t* slots = idx.lut->slots.data();
+    for (int64_t i = 0; i < nm; ++i) {
+      if (i + kPF < nm)
+        __builtin_prefetch(&slots[mhash[i + kPF] & mask]);
+      const uint32_t h = mhash[i];
+      int64_t u = -1;
+      uint64_t si = h & mask;
+      for (uint64_t slot; (slot = slots[si]) != 0; si = (si + 1) & mask) {
         if ((uint32_t)(slot >> 32) == h) {
           u = (int64_t)(uint32_t)slot - 1;
           break;
         }
       }
-      if (u < 0) continue;
-    } else {
+      umap[i] = u;
+      if (u >= 0) __builtin_prefetch(&idx.hit_start[u]);
+    }
+  } else {
+    for (int64_t i = 0; i < nm; ++i) {
+      const uint32_t h = mhash[i];
       const uint32_t* lo =
           std::lower_bound(idx.uniq_hash, idx.uniq_hash + idx.n_uniq, h);
-      if (lo == idx.uniq_hash + idx.n_uniq || *lo != h) continue;
-      u = lo - idx.uniq_hash;
+      umap[i] = (lo == idx.uniq_hash + idx.n_uniq || *lo != h)
+                    ? -1
+                    : lo - idx.uniq_hash;
     }
-    for (int64_t j = idx.hit_start[u]; j < idx.hit_start[u + 1]; ++j) {
-      const int8_t strand = (int8_t)(mstrand[i] ^ idx.hit_strand[j]);
-      const int64_t rpos_eff = strand == 0
-                                   ? (int64_t)mpos[i]
-                                   : rlen - k - (int64_t)mpos[i];
-      const int64_t diag = idx.hit_pos[j] - rpos_eff;
-      const int32_t b =
-          bucket_of(((int64_t)idx.hit_path[j] << 1) | strand);
-      tmp_bucket.push_back(b);
-      tmp_packed.push_back(((uint64_t)rpos_eff << 32) |
-                           (uint32_t)(diag + kDiagBias));
-      ++bcount[b];
+  }
+  for (int64_t i = 0; i < nm; ++i) {
+    const int64_t u = umap[i];
+    if (u < 0) continue;
+    // Prefetch the next resolved minimizer's hit range.
+    for (int64_t p = i + 1, seen = 0; p < nm && seen < 1; ++p) {
+      if (umap[p] >= 0) {
+        const int64_t js = idx.hit_start[umap[p]];
+        if (idx.hit_packed != nullptr) {
+          __builtin_prefetch(&idx.hit_packed[js]);
+        } else {
+          __builtin_prefetch(&idx.hit_path[js]);
+          __builtin_prefetch(&idx.hit_pos[js]);
+          __builtin_prefetch(&idx.hit_strand[js]);
+        }
+        ++seen;
+      }
+    }
+    const int64_t j_lo = idx.hit_start[u], j_hi = idx.hit_start[u + 1];
+    const int64_t rp_f = (int64_t)mpos[i];
+    const int64_t rp_r = rlen - k - (int64_t)mpos[i];
+    const int8_t ms = mstrand[i];
+    if (idx.hit_packed != nullptr) {
+      for (int64_t j = j_lo; j < j_hi; ++j) {
+        const uint64_t e = idx.hit_packed[j];
+        const int8_t strand = (int8_t)(ms ^ (int8_t)((e >> 32) & 1));
+        const int64_t rpos_eff = strand == 0 ? rp_f : rp_r;
+        const int64_t diag = (int64_t)(uint32_t)e - rpos_eff;
+        const int32_t b = bucket_of(((int64_t)(e >> 33) << 1) | strand);
+        tmp_bucket.push_back(b);
+        tmp_packed.push_back(((uint64_t)rpos_eff << 32) |
+                             (uint32_t)(diag + kDiagBias));
+        ++bcount[b];
+      }
+    } else {
+      for (int64_t j = j_lo; j < j_hi; ++j) {
+        const int8_t strand = (int8_t)(ms ^ idx.hit_strand[j]);
+        const int64_t rpos_eff = strand == 0 ? rp_f : rp_r;
+        const int64_t diag = idx.hit_pos[j] - rpos_eff;
+        const int32_t b =
+            bucket_of(((int64_t)idx.hit_path[j] << 1) | strand);
+        tmp_bucket.push_back(b);
+        tmp_packed.push_back(((uint64_t)rpos_eff << 32) |
+                             (uint32_t)(diag + kDiagBias));
+        ++bcount[b];
+      }
     }
   }
   if (tmp_packed.empty()) return;
@@ -954,6 +1019,7 @@ void chain_one_read(int64_t r, int64_t rlen, const int32_t* mpos,
           d0s[bi] = d0s[right];
         }
       }
+      const int32_t hd = (int32_t)diag_at(s + ch.head);
       for (int64_t bi = 0; bi < n_blocks; ++bi) {
         const int64_t b = b0 + bi;
         out->read.push_back((int32_t)r);
@@ -966,6 +1032,7 @@ void chain_one_read(int64_t r, int64_t rlen, const int32_t* mpos,
         out->q_hi.push_back((int32_t)std::min((b + 1) * R, rlen));
         out->a_lo.push_back((int32_t)q_first);
         out->a_hi.push_back((int32_t)std::min(q_last + k, rlen));
+        out->head_diag.push_back(hd);
       }
       ++chain_counter;
     }
@@ -1181,6 +1248,8 @@ void* svt_chain3(const int8_t* codes, int64_t n_bases,
     result->q_hi.insert(result->q_hi.end(), p.q_hi.begin(), p.q_hi.end());
     result->a_lo.insert(result->a_lo.end(), p.a_lo.begin(), p.a_lo.end());
     result->a_hi.insert(result->a_hi.end(), p.a_hi.begin(), p.a_hi.end());
+    result->head_diag.insert(result->head_diag.end(), p.head_diag.begin(),
+                             p.head_diag.end());
   }
   return result;
 }
@@ -1266,6 +1335,8 @@ void* svt_chain4(const int64_t* offsets, int64_t n_reads, int64_t n_mins,
     result->q_hi.insert(result->q_hi.end(), p.q_hi.begin(), p.q_hi.end());
     result->a_lo.insert(result->a_lo.end(), p.a_lo.begin(), p.a_lo.end());
     result->a_hi.insert(result->a_hi.end(), p.a_hi.begin(), p.a_hi.end());
+    result->head_diag.insert(result->head_diag.end(), p.head_diag.begin(),
+                             p.head_diag.end());
   }
   return result;
 }
@@ -1275,7 +1346,10 @@ void* svt_chain4(const int64_t* offsets, int64_t n_reads, int64_t n_mins,
 // hashes, applies the panel bitmap + exact lookup, and chains — sharing
 // chain_one_read with svt_chain3/svt_chain4. Threaded over read ranges
 // balanced by base volume (same partitioning as svt_chain3).
-void* svt_chain5(const int8_t* codes, int64_t n_bases,
+// ``hit_packed`` (nullable): interleaved (path<<33|strand<<32|pos) copy of
+// the hit arrays — one cache-miss stream instead of three in the expand
+// phase (built once per index in svjedi_tpu/align/index.py).
+void* svt_chain6(const int8_t* codes, int64_t n_bases,
                  const int64_t* offsets, int64_t n_reads, int32_t k,
                  int32_t w, const uint8_t* emit_bits,
                  const uint8_t* bitmap, int32_t bitmap_log2,
@@ -1286,7 +1360,7 @@ void* svt_chain5(const int8_t* codes, int64_t n_bases,
                  int32_t drift_abs, int32_t drift_permille,
                  int32_t block_rows, int32_t ext_min_anchors,
                  int32_t panel_path_limit, int32_t n_threads,
-                 void* lookup) {
+                 void* lookup, const uint64_t* hit_packed) {
   (void)n_bases;
   auto* result = new SeedResult();
   if (k <= 0 || k > 15 || w <= 0 || n_reads <= 0 || block_rows <= 0 ||
@@ -1298,7 +1372,7 @@ void* svt_chain5(const int8_t* codes, int64_t n_bases,
              : 0;
   SeedIndex idx{uniq_hash,  n_uniq,     hit_start,
                 hit_path,   hit_pos,    hit_strand,
-                static_cast<const HashLookup*>(lookup)};
+                static_cast<const HashLookup*>(lookup), hit_packed};
   ChainParams cp{min_anchors, max_chains,  max_gap,       drift_abs,
                  drift_permille, block_rows, ext_min_anchors};
   int T = n_threads > 0 ? n_threads
@@ -1308,7 +1382,7 @@ void* svt_chain5(const int8_t* codes, int64_t n_bases,
   if (T == 1) {
     chain_bits_range(codes, offsets, 0, n_reads, k, w, emit_bits, bitmap,
                      bitmap_mask, idx, cp, result, panel_path_limit);
-    chain_prof_report("chain5");
+    chain_prof_report("chain6");
     return result;
   }
   const int64_t total = offsets[n_reads] - offsets[0];
@@ -1331,7 +1405,7 @@ void* svt_chain5(const int8_t* codes, int64_t n_bases,
     });
   }
   for (auto& th : threads) th.join();
-  chain_prof_report("chain5");
+  chain_prof_report("chain6");
   size_t n = 0;
   for (const auto& p : parts) n += p.read.size();
   result->read.reserve(n);
@@ -1358,8 +1432,31 @@ void* svt_chain5(const int8_t* codes, int64_t n_bases,
     result->q_hi.insert(result->q_hi.end(), p.q_hi.begin(), p.q_hi.end());
     result->a_lo.insert(result->a_lo.end(), p.a_lo.begin(), p.a_lo.end());
     result->a_hi.insert(result->a_hi.end(), p.a_hi.begin(), p.a_hi.end());
+    result->head_diag.insert(result->head_diag.end(), p.head_diag.begin(),
+                             p.head_diag.end());
   }
   return result;
+}
+
+// ABI-stable wrapper (pre-hit_packed signature).
+void* svt_chain5(const int8_t* codes, int64_t n_bases,
+                 const int64_t* offsets, int64_t n_reads, int32_t k,
+                 int32_t w, const uint8_t* emit_bits,
+                 const uint8_t* bitmap, int32_t bitmap_log2,
+                 const uint32_t* uniq_hash, int64_t n_uniq,
+                 const int64_t* hit_start, const int32_t* hit_path,
+                 const int32_t* hit_pos, const int8_t* hit_strand,
+                 int32_t min_anchors, int32_t max_chains, int32_t max_gap,
+                 int32_t drift_abs, int32_t drift_permille,
+                 int32_t block_rows, int32_t ext_min_anchors,
+                 int32_t panel_path_limit, int32_t n_threads,
+                 void* lookup) {
+  return svt_chain6(codes, n_bases, offsets, n_reads, k, w, emit_bits,
+                    bitmap, bitmap_log2, uniq_hash, n_uniq, hit_start,
+                    hit_path, hit_pos, hit_strand, min_anchors, max_chains,
+                    max_gap, drift_abs, drift_permille, block_rows,
+                    ext_min_anchors, panel_path_limit, n_threads, lookup,
+                    /*hit_packed=*/nullptr);
 }
 
 // ABI-stable wrapper (pre-lookup-handle signature).
@@ -1419,6 +1516,16 @@ void svt_chain_copy(void* handle, int32_t* read, int32_t* path,
   memcpy(q_hi, r->q_hi.data(), n * sizeof(int32_t));
   memcpy(a_lo, r->a_lo.data(), n * sizeof(int32_t));
   memcpy(a_hi, r->a_hi.data(), n * sizeof(int32_t));
+}
+
+// Chain head-anchor diagonal per row (the creation-order key; see
+// SeedResult::head_diag). Separate copy so the svt_chain_copy ABI stays
+// stable for older callers.
+void svt_seed_headdiag_copy(void* handle, int32_t* head_diag) {
+  auto* r = static_cast<SeedResult*>(handle);
+  const size_t n = r->head_diag.size();
+  if (n == 0) return;
+  memcpy(head_diag, r->head_diag.data(), n * sizeof(int32_t));
 }
 
 void svt_seed_free(void* handle) { delete static_cast<SeedResult*>(handle); }

@@ -65,6 +65,26 @@ class PanelIndex:
             self._bitmap = bm
         return bm
 
+    def packed_hits(self) -> np.ndarray:
+        """Interleaved uint64 hit stream: (path << 33) | (strand << 32) | pos.
+
+        The native expand phase walks hit lists at random offsets; three
+        parallel arrays cost three cache-miss streams per list where one
+        packed array costs one (fastio.cpp svt_chain6). Built lazily once
+        per index (8 bytes/hit — the three source arrays stay for every
+        other consumer).
+        """
+        ph = getattr(self, "_packed_hits", None)
+        if ph is None:
+            ph = (
+                (self.hit_path.astype(np.uint64) << np.uint64(33))
+                | (self.hit_strand.astype(np.uint8).astype(np.uint64)
+                   << np.uint64(32))
+                | self.hit_pos.astype(np.uint32).astype(np.uint64)
+            )
+            self._packed_hits = ph
+        return ph
+
     def native_lookup(self) -> int:
         """Opaque native exact-hash table handle (0 when unavailable).
 

@@ -1286,10 +1286,13 @@ def align_and_count(
     # One minimizer scan serves panel AND decoy seeding: the merged index
     # carries decoy chromosome "paths" after the panel paths, and the rows
     # split by path id (index.merge_indexes; the scan is the seed stage's
-    # dominant cost).
+    # dominant cost). A LIST of DecoyShard objects selects the sharded
+    # competition instead (dist/decoy_shard.py): panel-only seeding, then
+    # per-shard decoy chaining with the byte-equal union/cap/suppress.
     n_panel_paths = len(index.path_len)
     seed_index = index
-    if decoy is not None:
+    sharded_decoy = isinstance(decoy, (list, tuple))
+    if decoy is not None and not sharded_decoy:
         from .index import merge_indexes
 
         seed_index = merge_indexes(index, decoy.index)
@@ -1495,19 +1498,31 @@ def align_and_count(
         cands = seed_candidates(
             chunk, seed_index, chain_params=chain_params,
             threads=align_cfg.threads,
-            panel_path_limit=n_panel_paths if decoy is not None else 0,
+            panel_path_limit=(
+                n_panel_paths
+                if decoy is not None and not sharded_decoy
+                else 0
+            ),
             bits=bits,
         )
         if decoy is not None and len(cands):
-            from .decoy import suppress_candidates
+            if sharded_decoy:
+                from ..dist.decoy_shard import suppress_candidates_sharded
 
-            is_panel = cands.path < n_panel_paths
-            dec = cands.take(~is_panel, path_offset=-n_panel_paths)
-            cands = cands.take(is_panel)
-            keep, dec_other, dec_same = suppress_candidates(
-                chunk, cands, index, decoy, chain_params,
-                threads=align_cfg.threads, dec=dec, return_margins=True,
-            )
+                keep, dec_other, dec_same = suppress_candidates_sharded(
+                    chunk, cands, index, list(decoy), chain_params,
+                    threads=align_cfg.threads,
+                )
+            else:
+                from .decoy import suppress_candidates
+
+                is_panel = cands.path < n_panel_paths
+                dec = cands.take(~is_panel, path_offset=-n_panel_paths)
+                cands = cands.take(is_panel)
+                keep, dec_other, dec_same = suppress_candidates(
+                    chunk, cands, index, decoy, chain_params,
+                    threads=align_cfg.threads, dec=dec, return_margins=True,
+                )
             cands.dec_other = dec_other
             cands.dec_same = dec_same
             if not keep.all():

@@ -57,6 +57,11 @@ class Candidates:
     #: zeros until the suppression stage fills them. Feed the mapq model.
     dec_other: np.ndarray = None  # int32
     dec_same: np.ndarray = None  # int32
+    #: chain head-anchor diagonal (same on every block row): with a_lo it
+    #: keys the chain's creation order inside its (read, path, strand)
+    #: group — needed by dist/decoy_shard.py to re-apply the global
+    #: max_chains truncation with the exact stable tie-break.
+    head_diag: np.ndarray = None  # int32
 
     def __post_init__(self):
         if self.chain is None:
@@ -73,6 +78,8 @@ class Candidates:
             self.dec_other = np.zeros(len(self.read), dtype=np.int32)
         if self.dec_same is None:
             self.dec_same = np.zeros(len(self.read), dtype=np.int32)
+        if self.head_diag is None:
+            self.head_diag = np.zeros(len(self.read), dtype=np.int32)
 
     def __len__(self) -> int:
         return len(self.read)
@@ -95,6 +102,7 @@ class Candidates:
             a_hi=self.a_hi[mask],
             dec_other=self.dec_other[mask],
             dec_same=self.dec_same[mask],
+            head_diag=self.head_diag[mask],
         )
 
 
@@ -232,15 +240,17 @@ def seed_candidates(
             params=cp, n_threads=threads,
             panel_path_limit=panel_path_limit,
             lookup=index.native_lookup(),
+            hit_packed=index.packed_hits(),
         )
         if res is not None:
             (read, path, strand, d0, support, chain_local, q_lo, q_hi,
-             a_lo, a_hi) = res
+             a_lo, a_hi, head_diag) = res
             return Candidates(
                 read=read, path=path, strand=strand, d0=d0,
                 n_anchors=support,
                 chain=_globalize_chains(read, chain_local),
                 q_lo=q_lo, q_hi=q_hi, a_lo=a_lo, a_hi=a_hi,
+                head_diag=head_diag,
             )
     if mins is not None:
         if native is not None and hasattr(native._lib, "svt_chain4"):
@@ -255,12 +265,13 @@ def seed_candidates(
             )
             if res is not None:
                 (read, path, strand, d0, support, chain_local, q_lo, q_hi,
-                 a_lo, a_hi) = res
+                 a_lo, a_hi, head_diag) = res
                 return Candidates(
                     read=read, path=path, strand=strand, d0=d0,
                     n_anchors=support,
                     chain=_globalize_chains(read, chain_local),
                     q_lo=q_lo, q_hi=q_hi, a_lo=a_lo, a_hi=a_hi,
+                    head_diag=head_diag,
                 )
     elif native is not None and hasattr(native._lib, "svt_chain"):
         res = native.chain(
@@ -275,12 +286,13 @@ def seed_candidates(
         )
         if res is not None:
             (read, path, strand, d0, support, chain_local, q_lo, q_hi,
-             a_lo, a_hi) = res
+             a_lo, a_hi, head_diag) = res
             return Candidates(
                 read=read, path=path, strand=strand, d0=d0,
                 n_anchors=support,
                 chain=_globalize_chains(read, chain_local),
                 q_lo=q_lo, q_hi=q_hi, a_lo=a_lo, a_hi=a_hi,
+                head_diag=head_diag,
             )
     native_result = mins if mins is not None else (
         native.minimizers(
@@ -347,6 +359,7 @@ def seed_candidates(
     rows_read, rows_path, rows_strand = [], [], []
     rows_d0, rows_support, rows_chain = [], [], []
     rows_qlo, rows_qhi, rows_alo, rows_ahi = [], [], [], []
+    rows_hd = []
     chain_counter = 0
     for s, e in zip(starts, ends):
         g = int(group_s[s])
@@ -366,6 +379,7 @@ def seed_candidates(
             )
             a_lo = int(rp[idx[0]])
             a_hi = min(int(rp[idx[-1]]) + index.k, int(rlen[g_read]))
+            hd = int(dg[idx[0]])
             for q_lo, q_hi, d0 in blocks:
                 rows_read.append(g_read)
                 rows_path.append(g_path)
@@ -377,6 +391,7 @@ def seed_candidates(
                 rows_qhi.append(q_hi)
                 rows_alo.append(a_lo)
                 rows_ahi.append(a_hi)
+                rows_hd.append(hd)
             chain_counter += 1
 
     if not rows_read:
@@ -392,6 +407,7 @@ def seed_candidates(
         q_hi=np.asarray(rows_qhi, np.int32),
         a_lo=np.asarray(rows_alo, np.int32),
         a_hi=np.asarray(rows_ahi, np.int32),
+        head_diag=np.asarray(rows_hd, np.int32),
     )
 
 

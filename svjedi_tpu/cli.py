@@ -62,6 +62,12 @@ def _add_run(sub):
              "psum); byte-equal to the host reduction",
     )
     p.add_argument(
+        "--decoy-shards", type=int, default=1, metavar="G",
+        help="split the whole-genome decoy index into G genomic-range "
+             "shards (the Gb-scale memory lever; byte-equal to unsharded "
+             "— on a process grid each host builds only its shard)",
+    )
+    p.add_argument(
         "--multihost", action="store_true",
         help="pod-slice mode: join the jax.distributed process group, "
              "shard reads by process index, allreduce counts over the "
@@ -173,6 +179,7 @@ def main(argv=None) -> int:
             dist=DistConfig(
                 data_shards=max(1, args.data_shards),
                 graph_shards=max(1, args.graph_shards),
+                decoy_shards=max(1, args.decoy_shards),
             ),
             multihost=args.multihost,
             shard=shard,

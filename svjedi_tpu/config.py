@@ -181,6 +181,14 @@ class DistConfig:
     #: production pipeline replicates the panel — use the on-mesh step for
     #: genomes whose tag table warrants sharding.
     graph_shards: int = 1
+    #: Genomic-range shards of the whole-genome decoy index
+    #: (dist/decoy_shard.py): the Gb-scale memory lever — a 3 Gb genome's
+    #: ~550 M-hit table splits so each graph-axis host holds ~1/G of it.
+    #: Byte-equal to the unsharded competition (tests/test_decoy_shard.py).
+    #: In a single process all G shards are resident (equality/testing
+    #: mode); the memory win realizes on a (data x graph) process grid
+    #: where each host builds only its shard (build_decoy_shard).
+    decoy_shards: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -164,15 +164,39 @@ def run_pipeline(cfg: PipelineConfig) -> Dict:
 
     decoy = None
     if cfg.align.decoy:
-        from .align.decoy import build_decoy
+        if cfg.dist.decoy_shards > 1:
+            # Sharded whole-genome competition (dist/decoy_shard.py): each
+            # shard is built WITHOUT the full hit table ever existing; in
+            # one process all G shards end up resident (equality mode) —
+            # on a (data x graph) process grid each host builds only its
+            # own shard and holds ~1/G of the table.
+            from .dist.decoy_shard import build_decoy_shard
 
-        with stats.timer("build_decoy"):
-            decoy = build_decoy(
-                panel,
-                k=cfg.align.kmer,
-                w=cfg.align.window,
-                max_hits_per_minimizer=cfg.align.max_hits_per_minimizer,
+            G = cfg.dist.decoy_shards
+            with stats.timer("build_decoy"):
+                decoy = [
+                    build_decoy_shard(
+                        panel, G, g, k=cfg.align.kmer, w=cfg.align.window,
+                        max_hits_per_minimizer=(
+                            cfg.align.max_hits_per_minimizer
+                        ),
+                    )
+                    for g in range(G)
+                ]
+            stats.set("decoy_shards", G)
+            stats.set(
+                "decoy_shard_hit_bytes", [s.hit_bytes() for s in decoy]
             )
+        else:
+            from .align.decoy import build_decoy
+
+            with stats.timer("build_decoy"):
+                decoy = build_decoy(
+                    panel,
+                    k=cfg.align.kmer,
+                    w=cfg.align.window,
+                    max_hits_per_minimizer=cfg.align.max_hits_per_minimizer,
+                )
 
     # Read loading: streamed (O(chunk) resident — the Gb-genome mode) or
     # eager. Shard/multihost modes slice the read set by global index and

@@ -92,6 +92,12 @@ class _NativeIO:
                         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
                         ctypes.c_void_p,
                     ]
+                if hasattr(lib, "svt_chain6"):
+                    lib.svt_chain6.restype = ctypes.c_void_p
+                    lib.svt_chain6.argtypes = (
+                        lib.svt_chain5.argtypes
+                        + [ctypes.POINTER(ctypes.c_uint64)]
+                    )
                 if hasattr(lib, "svt_lookup_build"):
                     lib.svt_lookup_build.restype = ctypes.c_void_p
                     lib.svt_lookup_build.argtypes = [
@@ -171,6 +177,11 @@ class _NativeIO:
         lib.svt_result_name.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.svt_result_free.restype = None
         lib.svt_result_free.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "svt_seed_headdiag_copy"):
+            lib.svt_seed_headdiag_copy.restype = None
+            lib.svt_seed_headdiag_copy.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+            ]
         if hasattr(lib, "svt_stream_open"):
             lib.svt_stream_open.restype = ctypes.c_void_p
             lib.svt_stream_open.argtypes = [ctypes.c_char_p]
@@ -252,7 +263,8 @@ class _NativeIO:
         """Copy a native SeedResult handle into numpy arrays and free it.
 
         Shared tail of every svt_chain* entry point: (read, path, strand,
-        d0, support, chain_local, q_lo, q_hi, a_lo, a_hi).
+        d0, support, chain_local, q_lo, q_hi, a_lo, a_hi, head_diag) —
+        head_diag is all-zero when the library predates its export.
         """
         lib = self._lib
         try:
@@ -282,8 +294,16 @@ class _NativeIO:
                     a_lo.ctypes.data_as(i32),
                     a_hi.ctypes.data_as(i32),
                 )
+            head_diag = np.zeros(n, dtype=np.int32)
+            if n and hasattr(lib, "svt_seed_headdiag_copy"):
+                lib.svt_seed_headdiag_copy(
+                    handle,
+                    head_diag.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_int32)
+                    ),
+                )
             return (read, path, strand, d0, support, chain_local, q_lo,
-                    q_hi, a_lo, a_hi)
+                    q_hi, a_lo, a_hi, head_diag)
         finally:
             lib.svt_seed_free(handle)
 
@@ -475,9 +495,13 @@ class _NativeIO:
         n_threads: int = 0,
         panel_path_limit: int = 0,
         lookup: int = 0,
+        hit_packed: Optional[np.ndarray] = None,
     ):
         """Lookup + chaining from the on-device scan's emission bitmask
-        (``svt_chain5``; design in align/dev_scan.py).
+        (``svt_chain5``/``svt_chain6``; design in align/dev_scan.py).
+        ``hit_packed``: interleaved uint64 hit stream (index.packed_hits)
+        — one cache-miss stream instead of three in the expand phase;
+        ignored when the library predates svt_chain6.
 
         ``emit_bits`` is the (n_bases // 8,) uint8 LSB-first bitmask of
         emitted k-mer start positions. The native side recomputes hash /
@@ -499,7 +523,10 @@ class _NativeIO:
         hit_path = np.ascontiguousarray(hit_path, dtype=np.int32)
         hit_pos = np.ascontiguousarray(hit_pos, dtype=np.int32)
         hit_strand = np.ascontiguousarray(hit_strand, dtype=np.int8)
-        handle = lib.svt_chain5(
+        use6 = hit_packed is not None and hasattr(lib, "svt_chain6")
+        if use6:
+            hit_packed = np.ascontiguousarray(hit_packed, dtype=np.uint64)
+        handle = (lib.svt_chain6 if use6 else lib.svt_chain5)(
             codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
             ctypes.c_int64(len(codes)),
             offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -525,6 +552,11 @@ class _NativeIO:
             ctypes.c_int32(panel_path_limit),
             ctypes.c_int32(n_threads),
             ctypes.c_void_p(lookup),
+            *(
+                [hit_packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))]
+                if use6
+                else []
+            ),
         )
         if not handle:
             return None
