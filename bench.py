@@ -90,9 +90,19 @@ def _scale_bench() -> int:
     mb = int(os.environ.get("SVJT_SCALE_MB", "10"))
     n_svs = int(os.environ.get("SVJT_SCALE_SVS", "1000"))
     cov = float(os.environ.get("SVJT_SCALE_COV", "20"))
+    # BASELINE config-3 style knobs: a multi-chromosome genome and the
+    # full SV-type mix (DEL/INS/INV plus BND translocation events).
+    n_chroms = int(os.environ.get("SVJT_SCALE_CHROMS", "1"))
+    sv_types = tuple(
+        os.environ.get("SVJT_SCALE_TYPES", "DEL,INS,INV").split(",")
+    )
+    per = mb * 1_000_000 // n_chroms
     rng = np.random.default_rng(11)
     s = sim.simulate(
-        seed=2, chrom_lengths={"chr1": mb * 1_000_000}, n_svs=n_svs
+        seed=2,
+        chrom_lengths={f"chr{i + 1}": per for i in range(n_chroms)},
+        n_svs=n_svs,
+        sv_types=sv_types,
     )
     cfg = AlignConfig()
     gcfg = GenotypeConfig()
@@ -163,7 +173,8 @@ def _scale_bench() -> int:
     # Memory/size profile for PERF.md's scale table (stderr, not the
     # driver's JSON line).
     print(
-        f"[scale] genome={mb}Mb svs={n_svs} cov={cov} "
+        f"[scale] genome={mb}Mb chroms={n_chroms} "
+        f"types={','.join(sv_types)} svs={n_svs} cov={cov} "
         f"reads={n_reads} read_bases={int(n_bases/1e6)}Mb "
         f"panel_paths={len(panel.paths)} "
         f"panel_bases={sum(p.length for p in panel.paths)/1e6:.1f}Mb "
