@@ -624,6 +624,9 @@ struct ChainHyp {
 struct ChainProf {
   std::atomic<int64_t> expand_ns{0}, sort_ns{0}, chain_ns{0},
       blocks_ns{0}, anchors{0}, reads{0};
+  //: emission-bitmask walk + k-mer hash recompute (chain_bits_range
+  //: only — the phase BEFORE chain_one_read's own accounting).
+  std::atomic<int64_t> scan_ns{0}, emitted{0};
 };
 inline ChainProf& chain_prof() {
   static ChainProf p;
@@ -648,17 +651,19 @@ inline void chain_prof_report(const char* entry) {
   ChainProf& p = chain_prof();
   int64_t reads = p.reads.exchange(0);
   int64_t anchors = p.anchors.exchange(0);
+  int64_t emitted = p.emitted.exchange(0);
+  double scan = p.scan_ns.exchange(0) / 1e9;
   double expand = p.expand_ns.exchange(0) / 1e9;
   double sort = p.sort_ns.exchange(0) / 1e9;
   double chain = p.chain_ns.exchange(0) / 1e9;
   double blocks = p.blocks_ns.exchange(0) / 1e9;
-  if (reads == 0 && anchors == 0) return;
+  if (reads == 0 && anchors == 0 && emitted == 0) return;
   fprintf(stderr,
-          "[chain_prof] %s reads=%lld anchors=%lld expand=%.3fs "
-          "sort=%.3fs chain=%.3fs blocks=%.3fs (cpu-s, summed over "
-          "threads)\n",
-          entry, (long long)reads, (long long)anchors, expand, sort, chain,
-          blocks);
+          "[chain_prof] %s reads=%lld emitted=%lld anchors=%lld "
+          "scan=%.3fs expand=%.3fs sort=%.3fs chain=%.3fs blocks=%.3fs "
+          "(cpu-s, summed over threads)\n",
+          entry, (long long)reads, (long long)emitted, (long long)anchors,
+          scan, expand, sort, chain, blocks);
 }
 
 // Reusable per-thread scratch for chain_one_read (avoids reallocation).
@@ -686,6 +691,17 @@ struct ChainScratch {
   std::vector<int64_t> d0s;
   std::vector<int64_t> med;
   std::vector<int64_t> umap;  // per-minimizer resolved uniq-hash index
+  // Diag-bucketed election (large groups): open-addressed bucket map +
+  // append-only entry pool (see chain_one_read).
+  struct BEntry {
+    int32_t chain, next;
+  };
+  std::vector<BEntry> bentries;
+  std::vector<int32_t> chain_entry;  // chain -> its LIVE entry (-1 dead)
+  std::vector<int64_t> bkt_key;
+  std::vector<int32_t> bkt_head;
+  std::vector<int32_t> bkt_epoch;
+  int32_t bkt_cur = 0;
 };
 
 // Anchors -> chains -> blocks for ONE read given its minimizers (pos local
@@ -913,39 +929,173 @@ void chain_one_read(int64_t r, int64_t rlen, const int32_t* mpos,
     // compacted active list (creation order preserved — the strict
     // dd < best_dd tie-break keeps electing the earliest-created chain,
     // identical to scanning the full list).
+    //
+    // Large groups (a read's minimizers hitting MANY loci of one decoy
+    // chromosome — the genome-scale case) switch to a DIAG-BUCKETED
+    // election: the drift tolerance caps at drift_abs +
+    // drift_permille*max_gap/1000 (= 678 at defaults) < the 1024-wide
+    // buckets, so only the anchor's own and two neighboring buckets can
+    // hold an eligible chain. Electing min (dd, chain id) with strict
+    // comparison is EXACTLY the linear scan's result: the scan visits
+    // chains in creation order with a strict dd < best_dd test, so ties
+    // resolve to the smallest chain id either way. Chains live in
+    // append-only entry nodes (a chain's current entry is
+    // chain_entry[j]; older entries turn stale when it moves bucket and
+    // unlink lazily), so moving a chain never corrupts a list.
+    constexpr int kDiagShift = 10;  // 1024 > max drift tolerance 678
+    constexpr size_t kBucketSwitch = 12;
+    constexpr int64_t kEntryDead = -2;
     chains.clear();
     active.clear();
     nxt.assign(g_end - s, -1);
+    std::vector<ChainScratch::BEntry>& bentries = cs.bentries;
+    std::vector<int32_t>& chain_entry = cs.chain_entry;
+    bool bucketed = false;
+    // The +-1-bucket scan is only exhaustive while the worst-case drift
+    // tolerance fits inside one bucket; with exotic runtime params fall
+    // back to the always-correct linear scan.
+    const int64_t tol_cap =
+        cp.drift_abs + ((int64_t)cp.drift_permille * cp.max_gap) / 1000;
+    const bool bucket_ok = tol_cap < ((int64_t)1 << kDiagShift);
+    if (cs.bkt_key.size() < 64) {
+      cs.bkt_key.resize(64);
+      cs.bkt_head.resize(64);
+      cs.bkt_epoch.assign(64, 0);
+    }
+    // find-or-create a bucket slot for key bb (epoch-stamped map).
+    auto bkt_slot = [&](int64_t bb, bool create) -> int32_t {
+      const uint64_t mask0 = cs.bkt_key.size() - 1;
+      uint64_t si = ((uint64_t)bb * 0x9E3779B97F4A7C15ULL) & mask0;
+      while (cs.bkt_epoch[si] == cs.bkt_cur) {
+        if (cs.bkt_key[si] == bb) return (int32_t)si;
+        si = (si + 1) & mask0;
+      }
+      if (!create) return -1;
+      cs.bkt_epoch[si] = cs.bkt_cur;
+      cs.bkt_key[si] = bb;
+      cs.bkt_head[si] = -1;
+      return (int32_t)si;
+    };
+    auto bkt_grow_if_needed = [&](size_t live) {
+      if ((live + 1) * 2 <= cs.bkt_key.size()) return;
+      // Rehash by re-inserting every LIVE chain entry (stale entries are
+      // dropped for free).
+      const size_t ncap = cs.bkt_key.size() * 2;
+      std::vector<int64_t> nk(ncap);
+      std::vector<int32_t> nh(ncap, -1);
+      std::vector<int32_t> ne(ncap, 0);
+      const uint64_t nmask = ncap - 1;
+      for (size_t j = 0; j < chains.size(); ++j) {
+        if (chain_entry[j] < 0) continue;
+        const int64_t bb = (chains[j].last_diag + kDiagBias) >> kDiagShift;
+        uint64_t si = ((uint64_t)bb * 0x9E3779B97F4A7C15ULL) & nmask;
+        while (ne[si] != 0 && nk[si] != bb) si = (si + 1) & nmask;
+        if (ne[si] == 0) {
+          ne[si] = 1;
+          nk[si] = bb;
+          nh[si] = -1;
+        }
+        const int32_t e = (int32_t)bentries.size();
+        bentries.push_back({(int32_t)j, nh[si]});
+        nh[si] = e;
+        chain_entry[j] = e;
+      }
+      for (size_t si = 0; si < ncap; ++si) ne[si] = ne[si] ? cs.bkt_cur : 0;
+      cs.bkt_key.swap(nk);
+      cs.bkt_head.swap(nh);
+      cs.bkt_epoch.swap(ne);
+    };
+    auto bkt_insert = [&](int32_t j) {
+      bkt_grow_if_needed(chains.size());
+      const int64_t bb = (chains[j].last_diag + kDiagBias) >> kDiagShift;
+      const int32_t si = bkt_slot(bb, /*create=*/true);
+      const int32_t e = (int32_t)bentries.size();
+      bentries.push_back({j, cs.bkt_head[si]});
+      cs.bkt_head[si] = e;
+      chain_entry[j] = e;
+    };
     for (size_t a = s; a < g_end; ++a) {
       const int64_t rp = rpos_at(a), dg = diag_at(a);
       int best_j = -1;
       int64_t best_dd = 0;
-      size_t na = 0;
-      for (size_t ji = 0; ji < active.size(); ++ji) {
-        const int32_t j = active[ji];
-        const int64_t gap = rp - chains[j].last_rpos;
-        if (gap > cp.max_gap) continue;  // retired for good
-        active[na++] = j;
-        const int64_t dd = std::llabs(dg - chains[j].last_diag);
-        if (dd > cp.drift_abs + ((int64_t)cp.drift_permille * gap) / 1000)
-          continue;
-        if (best_j < 0 || dd < best_dd) {
-          best_dd = dd;
-          best_j = j;
+      if (!bucketed) {
+        size_t na = 0;
+        for (size_t ji = 0; ji < active.size(); ++ji) {
+          const int32_t j = active[ji];
+          const int64_t gap = rp - chains[j].last_rpos;
+          if (gap > cp.max_gap) continue;  // retired for good
+          active[na++] = j;
+          const int64_t dd = std::llabs(dg - chains[j].last_diag);
+          if (dd >
+              cp.drift_abs + ((int64_t)cp.drift_permille * gap) / 1000)
+            continue;
+          if (best_j < 0 || dd < best_dd) {
+            best_dd = dd;
+            best_j = j;
+          }
+        }
+        active.resize(na);
+        if (bucket_ok && active.size() > kBucketSwitch) {
+          // Migrate the live chains into the bucket structure.
+          bucketed = true;
+          ++cs.bkt_cur;
+          bentries.clear();
+          chain_entry.assign(chains.size(), -1);
+          for (const int32_t j : active) bkt_insert(j);
+        }
+      } else {
+        const int64_t bb = (dg + kDiagBias) >> kDiagShift;
+        for (int64_t b2 = bb - 1; b2 <= bb + 1; ++b2) {
+          const int32_t si = bkt_slot(b2, /*create=*/false);
+          if (si < 0) continue;
+          int32_t* pj = &cs.bkt_head[si];
+          while (*pj >= 0) {
+            const ChainScratch::BEntry ent = bentries[*pj];
+            const int32_t j = ent.chain;
+            if (chain_entry[j] != *pj) {  // stale or dead: unlink
+              *pj = ent.next;
+              continue;
+            }
+            const int64_t gap = rp - chains[j].last_rpos;
+            if (gap > cp.max_gap) {  // retired for good
+              chain_entry[j] = (int32_t)kEntryDead;
+              *pj = ent.next;
+              continue;
+            }
+            const int64_t dd = std::llabs(dg - chains[j].last_diag);
+            if (dd <= cp.drift_abs +
+                          ((int64_t)cp.drift_permille * gap) / 1000 &&
+                (best_j < 0 || dd < best_dd ||
+                 (dd == best_dd && j < best_j))) {
+              best_dd = dd;
+              best_j = j;
+            }
+            pj = &bentries[*pj].next;
+          }
         }
       }
-      active.resize(na);
       const int32_t al = (int32_t)(a - s);
       if (best_j >= 0) {
         ChainHyp& c = chains[best_j];
+        const int64_t old_bb = (c.last_diag + kDiagBias) >> kDiagShift;
         c.last_rpos = rp;
         c.last_diag = dg;
         nxt[c.tail] = al;
         c.tail = al;
         ++c.count;
+        if (bucketed) {
+          const int64_t new_bb = (dg + kDiagBias) >> kDiagShift;
+          if (new_bb != old_bb) bkt_insert(best_j);  // old entry -> stale
+        }
       } else {
-        active.push_back((int32_t)chains.size());
+        const int32_t j = (int32_t)chains.size();
         chains.push_back({rp, dg, al, al, 1});
+        if (bucketed) {
+          chain_entry.push_back(-1);
+          bkt_insert(j);
+        } else {
+          active.push_back(j);
+        }
       }
     }
 
@@ -1084,10 +1234,12 @@ void chain_bits_range(const int8_t* codes, const int64_t* offsets,
   MinimizerResult mins;
   ScanScratch scratch;
   ChainScratch cs;
+  const bool prof = chain_prof_on();
   for (int64_t r = r0; r < r1; ++r) {
     const int64_t lo = offsets[r], hi = offsets[r + 1];
     const int64_t n_kmers = hi - lo - k + 1;
     if (n_kmers <= 0) continue;
+    const int64_t ts0 = prof ? prof_now() : 0;
     mins.read_id.clear();
     mins.pos.clear();
     mins.hash.clear();
@@ -1127,6 +1279,10 @@ void chain_bits_range(const int8_t* codes, const int64_t* offsets,
           mins.strand.push_back((int8_t)(s ? 1 : 0));
         }
       }
+    }
+    if (prof) {
+      chain_prof().scan_ns += prof_now() - ts0;
+      chain_prof().emitted += (int64_t)mins.hash.size();
     }
     if (mins.hash.empty()) continue;
     chain_one_read(r, hi - lo, mins.pos.data(), mins.hash.data(),

@@ -65,6 +65,22 @@ class PanelIndex:
             self._bitmap = bm
         return bm
 
+    def bitmap_if_useful(self):
+        """The prefilter bitmap, or None when it cannot prune.
+
+        The bitmap rejects read minimizers absent from the index before
+        the exact lookup. With a PANEL index (10^4-10^6 hashes in 2^24
+        bits) it rejects ~99%+; with a genome-scale MERGED panel+decoy
+        index the hash set approaches the bitmap size and most probes
+        pass anyway — then the 2 MB random-access table is pure L2-miss
+        overhead (measured: ~0.3-0.5 cpu-s per 13 M-minimizer chunk at
+        50 Mb). Skipping it is bit-identical: the exact lookup rejects
+        exactly the hashes the bitmap would have.
+        """
+        if len(self.uniq_hash) > (1 << self.BITMAP_LOG2) // 8:
+            return None
+        return self.hash_bitmap()
+
     def packed_hits(self) -> np.ndarray:
         """Interleaved uint64 hit stream: (path << 33) | (strand << 32) | pos.
 

@@ -233,7 +233,7 @@ def seed_candidates(
     if bits is not None and native is not None:
         res = native.chain_from_bitmask(
             reads.codes, reads.offsets, bits, index.k, index.w,
-            bitmap=index.hash_bitmap(), bitmap_log2=index.BITMAP_LOG2,
+            bitmap=index.bitmap_if_useful(), bitmap_log2=index.BITMAP_LOG2,
             uniq_hash=index.uniq_hash, hit_start=index.hit_start,
             hit_path=index.hit_path, hit_pos=index.hit_pos,
             hit_strand=index.hit_strand,
@@ -276,7 +276,7 @@ def seed_candidates(
     elif native is not None and hasattr(native._lib, "svt_chain"):
         res = native.chain(
             reads.codes, reads.offsets, index.k, index.w,
-            bitmap=index.hash_bitmap(), bitmap_log2=index.BITMAP_LOG2,
+            bitmap=index.bitmap_if_useful(), bitmap_log2=index.BITMAP_LOG2,
             uniq_hash=index.uniq_hash, hit_start=index.hit_start,
             hit_path=index.hit_path, hit_pos=index.hit_pos,
             hit_strand=index.hit_strand,
@@ -297,7 +297,7 @@ def seed_candidates(
     native_result = mins if mins is not None else (
         native.minimizers(
             reads.codes, reads.offsets, index.k, index.w,
-            bitmap=index.hash_bitmap(), bitmap_log2=index.BITMAP_LOG2,
+            bitmap=index.bitmap_if_useful(), bitmap_log2=index.BITMAP_LOG2,
             n_threads=threads,
         )
         if native is not None

@@ -367,6 +367,13 @@ class _NativeIO:
         hit_path = np.ascontiguousarray(hit_path, dtype=np.int32)
         hit_pos = np.ascontiguousarray(hit_pos, dtype=np.int32)
         hit_strand = np.ascontiguousarray(hit_strand, dtype=np.int8)
+        if bitmap is not None:
+            bitmap = np.ascontiguousarray(bitmap, dtype=np.uint8)
+        bm_ptr = (
+            bitmap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+            if bitmap is not None
+            else None
+        )
         common = (
             codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
             ctypes.c_int64(len(codes)),
@@ -374,7 +381,7 @@ class _NativeIO:
             ctypes.c_int64(len(offsets) - 1),
             ctypes.c_int32(k),
             ctypes.c_int32(w),
-            bitmap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            bm_ptr,
             ctypes.c_int32(bitmap_log2),
             uniq_hash.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
             ctypes.c_int64(len(uniq_hash)),
@@ -517,7 +524,8 @@ class _NativeIO:
         codes = np.ascontiguousarray(codes, dtype=np.int8)
         offsets = np.ascontiguousarray(offsets, dtype=np.int64)
         emit_bits = np.ascontiguousarray(emit_bits, dtype=np.uint8)
-        bitmap = np.ascontiguousarray(bitmap, dtype=np.uint8)
+        if bitmap is not None:
+            bitmap = np.ascontiguousarray(bitmap, dtype=np.uint8)
         uniq_hash = np.ascontiguousarray(uniq_hash, dtype=np.uint32)
         hit_start = np.ascontiguousarray(hit_start, dtype=np.int64)
         hit_path = np.ascontiguousarray(hit_path, dtype=np.int32)
@@ -534,7 +542,11 @@ class _NativeIO:
             ctypes.c_int32(k),
             ctypes.c_int32(w),
             emit_bits.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            bitmap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            (
+                bitmap.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+                if bitmap is not None
+                else None
+            ),
             ctypes.c_int32(bitmap_log2),
             uniq_hash.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
             ctypes.c_int64(len(uniq_hash)),
