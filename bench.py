@@ -87,6 +87,30 @@ def _scale_bench() -> int:
                     return int(line.split()[1]) / 1e6
         return 0.0
 
+    # Optional phase-tagged RSS profile (SVJT_SCALE_MEMLOG=/path.tsv): a
+    # sampler thread records current RSS twice a second plus the active
+    # phase label — used to attribute Gb-scale peak memory to a phase
+    # (sim / graph / index / decoy / align) instead of guessing from the
+    # single end-of-run peak number.
+    memlog = os.environ.get("SVJT_SCALE_MEMLOG")
+    mem_phase = ["start"]
+    if memlog:
+        import threading
+
+        def _sampler(path=memlog):
+            t_start = time.perf_counter()
+            with open(path, "w") as fh:
+                fh.write("t_s\trss_gb\tphase\n")
+                while True:
+                    fh.write(
+                        f"{time.perf_counter() - t_start:.1f}\t"
+                        f"{cur_rss_gb():.2f}\t{mem_phase[0]}\n"
+                    )
+                    fh.flush()
+                    time.sleep(0.5)
+
+        threading.Thread(target=_sampler, daemon=True).start()
+
     mb = int(os.environ.get("SVJT_SCALE_MB", "10"))
     n_svs = int(os.environ.get("SVJT_SCALE_SVS", "1000"))
     cov = float(os.environ.get("SVJT_SCALE_COV", "20"))
@@ -98,6 +122,7 @@ def _scale_bench() -> int:
     )
     per = mb * 1_000_000 // n_chroms
     rng = np.random.default_rng(11)
+    mem_phase[0] = "sim"
     s = sim.simulate(
         seed=2,
         chrom_lengths={f"chr{i + 1}": per for i in range(n_chroms)},
@@ -113,21 +138,26 @@ def _scale_bench() -> int:
         # in-memory form held coverage x genome of codes (83 MB RSS per
         # genome-Mb, PERF.md scale table).
         reads_path = os.path.join(tmp, "reads.fastq")
+        mem_phase[0] = "sim_reads"
         n_reads, n_bases = sim.simulate_reads_fastq(
             rng, s.haplotypes, coverage=cov, path=reads_path
         )
         vcf = os.path.join(tmp, "t.vcf")
         sim.write_truth_vcf(s, vcf)
         parsed = parse_vcf_svs(vcf, {c: len(x) for c, x in s.chroms.items()})
+        mem_phase[0] = "graph"
         graph = build_graph(s.chroms, parsed)
+        mem_phase[0] = "panel"
         panel = build_panel(
             graph, flank=cfg.flank, cluster_gap=cfg.cluster_gap,
             max_paths_per_cluster=cfg.max_paths_per_cluster,
         )
+        mem_phase[0] = "index"
         index = build_panel_index(
             panel, k=cfg.kmer, w=cfg.window,
             max_hits_per_minimizer=cfg.max_hits_per_minimizer,
         )
+        mem_phase[0] = "decoy"
         decoy = _build_decoy(panel, cfg)
         # Drop the simulation's own big strings before aligning so peak
         # RSS reflects the pipeline, not the generator (the haplotypes
@@ -137,10 +167,19 @@ def _scale_bench() -> int:
 
         gc.collect()
         pre_align_resident_gb = cur_rss_gb()
+        # SVJT_SCALE_ONE_PASS=1: time the first (warm) pass and skip the
+        # second. For multi-hour Gb-scale runs the compile/warmup cost
+        # amortized over millions of reads is noise (the persistent JAX
+        # cache makes compiles ~free on a warm machine), and one pass
+        # halves the wall clock; the accuracy gate still runs.
+        one_pass = os.environ.get("SVJT_SCALE_ONE_PASS", "0") == "1"
+        mem_phase[0] = "align_warm"
+        t0_warm = time.perf_counter()
         counts, _, _ = align_and_count(
             ReadStream(reads_path), panel, index, cfg, gcfg,
             collect_audit=False, decoy=decoy,
         )  # warm + correctness input
+        warm_dt = time.perf_counter() - t0_warm
         from svjedi_tpu.evals.contingency import contingency_report
         from svjedi_tpu.genotype.vcf_writer import write_genotyped_vcf
 
@@ -163,13 +202,17 @@ def _scale_bench() -> int:
                 "error": "scale accuracy check failed",
             }))
             return 1
-        stream = ReadStream(reads_path)
-        t0 = time.perf_counter()
-        align_and_count(
-            stream, panel, index, cfg, gcfg, collect_audit=False,
-            decoy=decoy,
-        )
-        dt = time.perf_counter() - t0
+        if one_pass:
+            dt = warm_dt
+        else:
+            stream = ReadStream(reads_path)
+            mem_phase[0] = "align_timed"
+            t0 = time.perf_counter()
+            align_and_count(
+                stream, panel, index, cfg, gcfg, collect_audit=False,
+                decoy=decoy,
+            )
+            dt = time.perf_counter() - t0
     # Memory/size profile for PERF.md's scale table (stderr, not the
     # driver's JSON line).
     print(

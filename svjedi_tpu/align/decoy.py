@@ -90,12 +90,10 @@ def build_decoy(
     uniq, start = np.unique(all_hash, return_index=True)
     counts = np.diff(np.append(start, len(all_hash)))
     keep = counts <= max_hits_per_minimizer
-    if keep.any():
-        sel = np.concatenate(
-            [np.arange(s, s + c) for s, c, k_ in zip(start, counts, keep) if k_]
-        )
-    else:
-        sel = np.zeros(0, np.int64)
+    # Vectorized kept-row mask (hits per hash are contiguous); see the
+    # matching note in index.build_panel_index — the per-hash np.arange
+    # form was the decoy-build memory/time transient at Gb scale.
+    sel = np.repeat(keep, counts)
     uniq = uniq[keep]
     hit_start = np.zeros(len(uniq) + 1, dtype=np.int64)
     np.cumsum(counts[keep], out=hit_start[1:])

@@ -205,18 +205,18 @@ def build_panel_index(
     counts = np.diff(np.append(start, len(all_hash)))
 
     # Drop ultra-frequent minimizers (repeats): keeps seeding O(reads).
+    # Hits of one hash are contiguous in the sorted arrays, so the kept
+    # rows are exactly the per-unique keep flag repeated per hit count —
+    # one vectorized mask instead of millions of tiny np.arange slices
+    # (the old form allocated one array PER UNIQUE HASH; at genome scale
+    # that is tens of millions of allocations and was the dominant
+    # index-build transient).
     keep = counts <= max_hits_per_minimizer
-    kept_ranges = [
-        (s, s + c) for s, c, k_ in zip(start, counts, keep) if k_
-    ]
-    if kept_ranges:
-        sel = np.concatenate([np.arange(s, e) for s, e in kept_ranges])
-    else:
-        sel = np.zeros(0, np.int64)
+    keep_hits = np.repeat(keep, counts)
     uniq = uniq[keep]
-    all_path = all_path[sel]
-    all_pos = all_pos[sel]
-    all_strand = all_strand[sel]
+    all_path = all_path[keep_hits]
+    all_pos = all_pos[keep_hits]
+    all_strand = all_strand[keep_hits]
     new_counts = counts[keep]
     hit_start = np.zeros(len(uniq) + 1, dtype=np.int64)
     np.cumsum(new_counts, out=hit_start[1:])

@@ -63,6 +63,35 @@ class Winners:
     anchor_te: Optional[np.ndarray] = None
 
 
+def _malloc_trim() -> None:
+    """Return freed glibc heap to the OS (no-op where unavailable).
+
+    The per-chunk seed/chain path mallocs and frees GB-scale scratch
+    (anchor arrays, chain tables) from two threads; glibc retains much of
+    it in per-thread arenas, so resident memory during a genome-scale
+    align run reads far above live data. One malloc_trim(0) per flush
+    (~1 ms) keeps RSS honest at Gb scale. Disable with SVJT_MALLOC_TRIM=0.
+    """
+    if os.environ.get("SVJT_MALLOC_TRIM", "1") == "0":
+        return
+    global _LIBC
+    if _LIBC is None:
+        try:
+            import ctypes
+
+            _LIBC = ctypes.CDLL("libc.so.6")
+        except Exception:
+            _LIBC = False
+    if _LIBC:
+        try:
+            _LIBC.malloc_trim(0)
+        except Exception:
+            pass
+
+
+_LIBC = None
+
+
 def revcomp_codes(codes: np.ndarray) -> np.ndarray:
     rc = codes[::-1].copy()
     mask = rc < 4
@@ -1430,6 +1459,7 @@ def align_and_count(
         pending.clear()
         if timings is not None:
             timings["count_s"] += time.perf_counter() - t2
+        _malloc_trim()
 
     chain_params = ChainParams(
         min_anchors=align_cfg.min_anchors,
