@@ -129,6 +129,24 @@ def allreduce_counts(
     import numpy as np
     from jax.experimental import multihost_utils
 
+    # Processes reach this first collective with however much skew their
+    # align stages had (minutes at genome scale); gloo's lazy TCP pair
+    # setup inside the allgather only tolerates ~30 s of it ("Gloo context
+    # initialization failed: Connect timeout"). The coordination-service
+    # barrier has a configurable timeout and no gloo involvement, so wait
+    # there first — after it, every process enters the gloo collective
+    # within milliseconds.
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+        if client is not None:
+            client.wait_at_barrier(
+                "svjt_allreduce_counts", timeout_in_ms=3_600_000
+            )
+    except Exception:
+        pass  # best-effort: without it, small-skew runs still work
+
     payload = np.frombuffer(
         json.dumps(counts, sort_keys=True).encode(), dtype=np.uint8
     )
