@@ -134,6 +134,45 @@ def extract_minimizers_flat(
     )
 
 
+#: Window starts per extraction tile (see :func:`_extract_tiled`): 16 M
+#: keeps per-tile temporaries ~0.5 GB where the untiled sweep over a
+#: whole chromosome allocates ~40 bytes per base at once (measured as a
+#: 10+ GB transient on a single 250 Mb chromosome during decoy build).
+_TILE_WINDOWS = 1 << 24
+
+
+def _extract_tiled(codes: np.ndarray, k: int, w: int) -> Minimizers:
+    """Tile-at-a-time variant of :func:`extract_minimizers` — identical
+    output by construction: a window's leftmost-argmin depends only on
+    the window's own hashes, so extracting per tile with a (w-1)+(k-1)
+    halo and deduplicating positions across tiles yields exactly the
+    whole-array selection (a minimizer near a tile boundary may be
+    emitted by both neighbors; values at a position are identical in
+    either tile, so first-occurrence dedup is exact)."""
+    n = len(codes)
+    n_windows = (n - k + 1) - w + 1
+    pos_parts, hash_parts, strand_parts = [], [], []
+    for a in range(0, n_windows, _TILE_WINDOWS):
+        b = min(n_windows, a + _TILE_WINDOWS)
+        sub = codes[a : min(n, b + w - 1 + k - 1)]
+        fwd, rc, valid = _kmer_values(sub, k)
+        canonical = np.minimum(fwd, rc)
+        strand = (rc < fwd).astype(np.int8)
+        hashes = np.where(valid & (fwd != rc), _mix32(canonical), _INVALID)
+        sel = np.unique(_window_argmin(hashes, w))
+        sel = sel[hashes[sel] != _INVALID]
+        pos_parts.append(sel + a)
+        hash_parts.append(hashes[sel])
+        strand_parts.append(strand[sel])
+    pos = np.concatenate(pos_parts)
+    hsh = np.concatenate(hash_parts)
+    st = np.concatenate(strand_parts)
+    pos, idx = np.unique(pos, return_index=True)
+    return Minimizers(
+        pos=pos.astype(np.int32), hash=hsh[idx], strand=st[idx]
+    )
+
+
 def extract_minimizers(codes: np.ndarray, k: int, w: int) -> Minimizers:
     """Minimizers of an int8 code sequence (A,C,G,T->0..3, other->4)."""
     n = len(codes)
@@ -141,6 +180,8 @@ def extract_minimizers(codes: np.ndarray, k: int, w: int) -> Minimizers:
         return Minimizers(
             np.zeros(0, np.int32), np.zeros(0, np.uint32), np.zeros(0, np.int8)
         )
+    if n - k + 1 >= w and (n - k + 1) - w + 1 > _TILE_WINDOWS:
+        return _extract_tiled(codes, k, w)
     fwd, rc, valid = _kmer_values(codes, k)
 
     canonical = np.minimum(fwd, rc)

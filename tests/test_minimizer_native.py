@@ -140,3 +140,43 @@ def test_native_lookup_table_matches_binary_search():
     assert len(res_bs[0]) > 0
     for a, b in zip(res_bs, res_lut):
         np.testing.assert_array_equal(a, b)
+
+
+def test_tiled_extraction_equals_untiled(monkeypatch):
+    """The large-sequence tiled path must reproduce the whole-array
+    extraction EXACTLY (positions, hashes, strands) — tile boundaries
+    fall mid-window, which is precisely the case the halo covers."""
+    import svjedi_tpu.align.minimizer as mz
+
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 4, size=200_003, dtype=np.int8)
+    # N runs straddling future tile boundaries
+    for start in (9_990, 49_995, 120_000):
+        codes[start : start + 12] = 4
+    k, w = 15, 10
+    ref = mz.extract_minimizers(codes, k, w)
+
+    monkeypatch.setattr(mz, "_TILE_WINDOWS", 10_000)  # ~20 tiles
+    tiled = mz.extract_minimizers(codes, k, w)
+    # (the monkeypatched threshold forces the tiled branch)
+    np.testing.assert_array_equal(ref.pos, tiled.pos)
+    np.testing.assert_array_equal(ref.hash, tiled.hash)
+    np.testing.assert_array_equal(ref.strand, tiled.strand)
+
+
+def test_tiled_threshold_edge(monkeypatch):
+    """Exactly at/just past the threshold both paths agree (off-by-one
+    guard on the n_windows > _TILE_WINDOWS branch condition)."""
+    import svjedi_tpu.align.minimizer as mz
+
+    rng = np.random.default_rng(11)
+    k, w = 15, 10
+    monkeypatch.setattr(mz, "_TILE_WINDOWS", 5_000)
+    for n_windows in (4_999, 5_000, 5_001, 10_001):
+        n = n_windows + w - 1 + k - 1
+        codes = rng.integers(0, 4, size=n, dtype=np.int8)
+        got = mz.extract_minimizers(codes, k, w)
+        ref = mz._extract_tiled(codes, k, w)
+        np.testing.assert_array_equal(got.pos, ref.pos)
+        np.testing.assert_array_equal(got.hash, ref.hash)
+        np.testing.assert_array_equal(got.strand, ref.strand)
